@@ -1,0 +1,283 @@
+"""Branchless batched BSDFs over the closed 3-material set.
+
+Faithful re-derivation of the reference's BSDF library
+(reference: common/common_device.cuh — LambertBRDF:335,
+DiffuseAndSpecularBRDF:443 with GGX VNDF sampling :470-507, height-correlated
+Smith G, Disney-style diffuse Fresnel, one-sample-MIS lobe selection :532-647,
+DH-reflectance estimate :736-764; SimplePBR_BRDF:767 maps base/metallic onto
+the same parameterization at material-creation time).
+
+Where the reference dispatches through SBT callables / function pointers
+(DynamicFunction, common_shared.h:83), here every lane evaluates the unified
+diffuse+specular family and the Lambert special case is selected with
+`jnp.where` — the TPU-idiomatic replacement for a closed dispatch set.
+
+All directions are in the local shading frame (z = shading normal). Batched
+over [R] lanes; every function is jit-safe.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from gfxexp_tpu.core.math import (
+    concentric_sample_disk,
+    cosine_sample_hemisphere,
+    luminance,
+    safe_divide,
+)
+
+_PI = jnp.pi
+
+
+@struct.dataclass
+class BSDFParams:
+    """Per-lane material parameters after texture fetch."""
+
+    diffuse: jnp.ndarray  # [R, 3]
+    f0: jnp.ndarray  # [R, 3] specular color at normal incidence
+    roughness: jnp.ndarray  # [R]
+    is_lambert: jnp.ndarray  # [R] bool — pure Lambert evaluation path
+
+
+def _pow5(x):
+    x2 = x * x
+    return x2 * x2 * x
+
+
+# ---------------------------------------------------------------------------
+# GGX microfacet distribution (reference: GGXMicrofacetDistribution,
+# common_device.cuh:449-533)
+# ---------------------------------------------------------------------------
+
+
+def ggx_d(m, alpha):
+    temp = m[..., 0] ** 2 + m[..., 1] ** 2 + (m[..., 2] * alpha) ** 2
+    d = safe_divide(alpha * alpha, _PI * temp * temp)
+    return jnp.where(m[..., 2] > 0.0, d, 0.0)
+
+
+def ggx_smith_g1(v, m, alpha):
+    chi = jnp.sum(v * m, axis=-1) * v[..., 2] > 0.0
+    vz2 = v[..., 2] ** 2
+    temp = safe_divide(alpha * alpha * (v[..., 0] ** 2 + v[..., 1] ** 2), vz2)
+    return jnp.where(chi, 2.0 / (1.0 + jnp.sqrt(1.0 + temp)), 0.0)
+
+
+def ggx_height_correlated_g(v1, v2, m, alpha):
+    def lam(v):
+        vz2 = v[..., 2] ** 2
+        a2t2 = safe_divide(alpha * alpha * (v[..., 0] ** 2 + v[..., 1] ** 2), vz2)
+        return 0.5 * (-1.0 + jnp.sqrt(1.0 + a2t2))
+
+    chi1 = safe_divide(jnp.sum(v1 * m, axis=-1), v1[..., 2]) > 0.0
+    chi2 = safe_divide(jnp.sum(v2 * m, axis=-1), v2[..., 2]) > 0.0
+    return jnp.where(chi1 & chi2, 1.0 / (1.0 + lam(v1) + lam(v2)), 0.0)
+
+
+def ggx_sample_vndf(v, u0, u1, alpha):
+    """Heitz 2014 visible-NDF sampling (reference: GGXMicrofacetDistribution::
+    sample, common_device.cuh:470-507). v must be upper-hemisphere. Returns
+    (m, pdf_m)."""
+    a = alpha[..., None]
+    sv = jnp.stack([alpha * v[..., 0], alpha * v[..., 1], v[..., 2]], axis=-1)
+    sv = sv / jnp.linalg.norm(sv, axis=-1, keepdims=True)
+    dist2d = jnp.sqrt(sv[..., 0] ** 2 + sv[..., 1] ** 2)
+    rec = safe_divide(1.0, dist2d)
+    straight = sv[..., 2] >= 0.9999
+    t1 = jnp.where(
+        straight[..., None],
+        jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), sv.shape),
+        jnp.stack([sv[..., 1] * rec, -sv[..., 0] * rec, jnp.zeros_like(rec)], axis=-1),
+    )
+    t2 = jnp.stack(
+        [t1[..., 1] * sv[..., 2], -t1[..., 0] * sv[..., 2], dist2d], axis=-1
+    )
+    aa = 1.0 / (1.0 + sv[..., 2])
+    r = jnp.sqrt(jnp.maximum(u0, 0.0))
+    lower = u1 < aa
+    phi = _PI * jnp.where(lower, safe_divide(u1, aa), 1.0 + safe_divide(u1 - aa, 1.0 - aa))
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi) * jnp.where(lower, 1.0, sv[..., 2])
+    p3 = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
+    m = p1[..., None] * t1 + p2[..., None] * t2 + p3[..., None] * sv
+    m = jnp.stack([alpha * m[..., 0], alpha * m[..., 1], m[..., 2]], axis=-1)
+    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-20)
+    d = ggx_d(m, alpha)
+    pdf = ggx_smith_g1(v, m, alpha) * jnp.abs(jnp.sum(v * m, axis=-1)) * d
+    pdf = safe_divide(pdf, jnp.abs(v[..., 2]))
+    del a
+    return m, pdf
+
+
+def ggx_pdf(v, m, alpha):
+    d = ggx_d(m, alpha)
+    return safe_divide(
+        ggx_smith_g1(v, m, alpha) * jnp.abs(jnp.sum(v * m, axis=-1)) * d,
+        jnp.abs(v[..., 2]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# lobe weights for one-sample MIS (reference: common_device.cuh:544-563)
+# ---------------------------------------------------------------------------
+
+
+def _lobe_weights(p: BSDFParams, v_given):
+    r = p.roughness
+    vz = v_given[..., 2]
+    one_minus_vz5 = _pow5(1.0 - jnp.abs(vz))
+    expected_fd90 = 0.5 * r + 2.0 * r * vz * vz
+    expected_diffuse_fresnel = 1.0 + (expected_fd90 - 1.0) * one_minus_vz5
+    diffuse_w = (
+        luminance(p.diffuse)
+        * expected_diffuse_fresnel**2
+        * (1.0 + (1.0 / 1.51 - 1.0) * r)
+    )
+    specular_w = luminance(p.f0) + (1.0 - luminance(p.f0)) * one_minus_vz5
+    return diffuse_w, specular_w
+
+
+def _ds_eval_common(p: BSDFParams, dir_v, dir_l, m):
+    """Evaluate diffuse+specular f given upper-hemisphere V, L and half vec."""
+    alpha = p.roughness * p.roughness
+    dot_lh = jnp.minimum(jnp.sum(dir_l * m, axis=-1), 1.0)
+    one_minus_lh5 = _pow5(1.0 - dot_lh)
+    d = ggx_d(m, alpha)
+    g = ggx_height_correlated_g(dir_l, dir_v, m, alpha)
+    f = p.f0 + (1.0 - p.f0) * one_minus_lh5[..., None]
+    denom = 4.0 * dir_l[..., 2] * dir_v[..., 2]
+    spec = f * safe_divide(d * g, denom)[..., None]
+    spec = jnp.where((g > 0.0)[..., None], spec, 0.0)
+
+    r = p.roughness
+    fd90 = 0.5 * r + 2.0 * r * dot_lh * dot_lh
+    one_minus_vn5 = _pow5(1.0 - dir_v[..., 2])
+    one_minus_ln5 = _pow5(1.0 - dir_l[..., 2])
+    f_out = 1.0 + (fd90 - 1.0) * one_minus_vn5
+    f_in = 1.0 + (fd90 - 1.0) * one_minus_ln5
+    diff = p.diffuse * (
+        f_out * f_in * (1.0 + (1.0 / 1.51 - 1.0) * r) / _PI
+    )[..., None]
+    return diff + spec
+
+
+def bsdf_evaluate(p: BSDFParams, v_given, v_sampled):
+    """f(V, L) [R, 3]. Both directions local; two-sided like the reference."""
+    same_side = v_given[..., 2] * v_sampled[..., 2] > 0.0
+    entering = v_given[..., 2] >= 0.0
+    sign = jnp.where(entering, 1.0, -1.0)[..., None]
+    dir_v = v_given * sign
+    dir_l = v_sampled * sign
+    m = dir_l + dir_v
+    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-20)
+    ds = _ds_eval_common(p, dir_v, dir_l, m)
+    lam = p.diffuse / _PI
+    f = jnp.where(p.is_lambert[..., None], lam, ds)
+    return jnp.where(same_side[..., None], f, 0.0)
+
+
+def bsdf_pdf(p: BSDFParams, v_given, v_sampled):
+    """Solid-angle pdf of sampling L given V (one-sample-MIS mixture)."""
+    same_side = v_given[..., 2] * v_sampled[..., 2] > 0.0
+    entering = v_given[..., 2] >= 0.0
+    sign = jnp.where(entering, 1.0, -1.0)[..., None]
+    dir_v = v_given * sign
+    dir_l = v_sampled * sign
+    m = dir_l + dir_v
+    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-20)
+    alpha = p.roughness * p.roughness
+    dot_lh = jnp.sum(dir_l * m, axis=-1)
+    common = safe_divide(1.0, 4.0 * dot_lh)
+    diffuse_pdf = dir_l[..., 2] / _PI
+    specular_pdf = common * ggx_pdf(dir_v, m, alpha)
+    dw, sw = _lobe_weights(p, dir_v)
+    sum_w = dw + sw
+    ds = safe_divide(diffuse_pdf * dw + specular_pdf * sw, sum_w)
+    pdf = jnp.where(p.is_lambert, diffuse_pdf, ds)
+    return jnp.where(same_side, jnp.maximum(pdf, 0.0), 0.0)
+
+
+def bsdf_sample(p: BSDFParams, v_given, u0, u1):
+    """Sample L given V. Returns (v_sampled [R,3], f [R,3], pdf [R]).
+
+    Branchless: both lobes are sampled for every lane, the per-lane pick is a
+    `where` (the TPU replacement for the reference's in-register branch,
+    common_device.cuh:575-613)."""
+    entering = v_given[..., 2] >= 0.0
+    sign = jnp.where(entering, 1.0, -1.0)[..., None]
+    dir_v = v_given * sign
+    alpha = p.roughness * p.roughness
+
+    dw, sw = _lobe_weights(p, dir_v)
+    sum_w = dw + sw
+    pick_spec = (u1 * sum_w >= dw) & ~p.is_lambert
+    # remap u1 within the chosen lobe
+    u1_diff = safe_divide(u1 * sum_w, dw)
+    u1_spec = safe_divide(u1 * sum_w - dw, sw)
+    u1_diff = jnp.where(p.is_lambert, u1, jnp.clip(u1_diff, 0.0, 1.0 - 1e-7))
+    u1_spec = jnp.clip(u1_spec, 0.0, 1.0 - 1e-7)
+
+    # diffuse lobe: cosine hemisphere
+    l_diff = cosine_sample_hemisphere(u0, u1_diff)
+    # specular lobe: VNDF
+    m_spec, m_pdf = ggx_sample_vndf(dir_v, u0, u1_spec, alpha)
+    dot_vh = jnp.minimum(jnp.sum(dir_v * m_spec, axis=-1), 1.0)
+    l_spec = 2.0 * dot_vh[..., None] * m_spec - dir_v
+
+    dir_l = jnp.where(pick_spec[..., None], l_spec, l_diff)
+    spec_ok = jnp.where(pick_spec, dir_l[..., 2] * dir_v[..., 2] > 0.0, True)
+
+    # half vector + pdfs for the *chosen* direction
+    m = jnp.where(pick_spec[..., None], m_spec, _half_vec(l_diff, dir_v))
+    dot_lh = jnp.minimum(jnp.sum(dir_l * m, axis=-1), 1.0)
+    common = safe_divide(1.0, 4.0 * dot_lh)
+    diffuse_pdf = dir_l[..., 2] / _PI
+    specular_pdf = common * jnp.where(
+        pick_spec, m_pdf, ggx_pdf(dir_v, m, alpha)
+    )
+    ds_pdf = safe_divide(diffuse_pdf * dw + specular_pdf * sw, sum_w)
+    pdf = jnp.where(p.is_lambert, diffuse_pdf, ds_pdf)
+    pdf = jnp.where(spec_ok & (sum_w > 0.0), pdf, 0.0)
+
+    f_ds = _ds_eval_common(p, dir_v, dir_l, m)
+    f_lam = p.diffuse / _PI
+    f = jnp.where(p.is_lambert[..., None], f_lam, f_ds)
+    f = jnp.where((pdf > 0.0)[..., None], f, 0.0)
+
+    v_sampled = dir_l * sign
+    return v_sampled, f, pdf
+
+
+def _half_vec(a, b):
+    h = a + b
+    return h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
+
+
+def bsdf_dh_reflectance(p: BSDFParams, v_given):
+    """Directional-hemispherical reflectance estimate for denoiser albedo
+    (reference: evaluateDHReflectanceEstimate, common_device.cuh:736-764)."""
+    vz = jnp.abs(v_given[..., 2])
+    r = p.roughness
+    fd90 = 0.5 * r + 2.0 * r * vz * vz
+    one_minus_vz5 = _pow5(1.0 - vz)
+    f_given = 1.0 + (fd90 - 1.0) * one_minus_vz5
+    diffuse_dhr = p.diffuse * (f_given * (1.0 + (1.0 / 1.51 - 1.0) * r))[..., None]
+    omvh5 = one_minus_vz5 * (1.0 - r)
+    specular_dhr = p.f0 + (1.0 - p.f0) * omvh5[..., None]
+    ds = jnp.minimum(diffuse_dhr + specular_dhr, 1.0)
+    return jnp.where(p.is_lambert[..., None], p.diffuse, ds)
+
+
+def material_params(materials, mat_idx) -> BSDFParams:
+    """Gather per-lane BSDFParams from the material table (constant-color
+    path; textured fetch plugs in here)."""
+    from gfxexp_tpu.scene.types import BSDF_LAMBERT
+
+    return BSDFParams(
+        diffuse=materials.diffuse_color[mat_idx],
+        f0=materials.specular_f0[mat_idx],
+        roughness=jnp.minimum(materials.roughness[mat_idx], 0.999),
+        is_lambert=materials.bsdf_type[mat_idx] == BSDF_LAMBERT,
+    )

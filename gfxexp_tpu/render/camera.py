@@ -1,0 +1,72 @@
+"""Perspective camera (reference: shared::PerspectiveCamera and ray generation
+in path_tracing/gpu_kernels/optix_gbuffer_kernels.cu:5-25).
+
+Convention (matches reference exactly): camera space has +z forward; a pixel
+(px, py) with jitter (jx, jy) maps to direction
+    orientation @ (vw * (0.5 - x), vh * (0.5 - y), 1), normalized
+with x = (px+jx)/W, y = (py+jy)/H, vh = 2 tan(fovY/2), vw = aspect * vh.
+So +x_cam points screen-left and +y_cam screen-up.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from gfxexp_tpu.core.math import normalize
+
+
+@struct.dataclass
+class Camera:
+    position: jnp.ndarray  # [3]
+    orientation: jnp.ndarray  # [3, 3] camera-to-world (columns: left, up, fwd)
+    fov_y: jnp.ndarray  # [] radians
+    aspect: jnp.ndarray  # [] width / height
+
+
+def make_camera(position, fov_y, aspect, orientation=None, target=None,
+                up=(0.0, 1.0, 0.0)) -> Camera:
+    position = jnp.asarray(position, jnp.float32)
+    if orientation is None:
+        fwd = normalize(jnp.asarray(target, jnp.float32) - position)
+        right = normalize(jnp.cross(fwd, jnp.asarray(up, jnp.float32)))
+        true_up = jnp.cross(right, fwd)
+        orientation = jnp.stack([-right, true_up, fwd], axis=-1)
+    return Camera(
+        position=position,
+        orientation=jnp.asarray(orientation, jnp.float32),
+        fov_y=jnp.asarray(fov_y, jnp.float32),
+        aspect=jnp.asarray(aspect, jnp.float32),
+    )
+
+
+def generate_rays(camera: Camera, width: int, height: int, jx, jy):
+    """Primary rays for every pixel. jx, jy: [H*W] jitter in [0,1) (use 0.5
+    for pixel centers). Returns (origins [N,3], directions [N,3])."""
+    n = width * height
+    px = jnp.arange(n, dtype=jnp.float32) % width
+    py = jnp.floor(jnp.arange(n, dtype=jnp.float32) / width)
+    x = (px + jx) / width
+    y = (py + jy) / height
+    vh = 2.0 * jnp.tan(camera.fov_y * 0.5)
+    vw = camera.aspect * vh
+    d_cam = jnp.stack(
+        [vw * (0.5 - x), vh * (0.5 - y), jnp.ones_like(x)], axis=-1
+    )
+    d_world = d_cam @ camera.orientation.T
+    d_world = normalize(d_world)
+    o = jnp.broadcast_to(camera.position, (n, 3))
+    return o, d_world
+
+
+def screen_position(camera: Camera, p):
+    """World point -> screen uv in [0,1]^2 (for motion vectors; reference:
+    PerspectiveCamera::calcScreenPosition)."""
+    rel = p - camera.position
+    local = rel @ camera.orientation  # inverse of orthonormal orientation
+    z = jnp.maximum(local[..., 2], 1e-8)
+    vh = 2.0 * jnp.tan(camera.fov_y * 0.5)
+    vw = camera.aspect * vh
+    x = 0.5 - local[..., 0] / (z * vw)
+    y = 0.5 - local[..., 1] / (z * vh)
+    return jnp.stack([x, y], axis=-1)

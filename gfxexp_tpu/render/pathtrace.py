@@ -1,0 +1,301 @@
+"""Wavefront path tracer: NEE + implicit-hit MIS (power heuristic) + Russian
+roulette, progressive accumulation.
+
+Faithful TPU re-architecture of the reference's baseline path tracer
+(reference: path_tracing/gpu_kernels/optix_pathtracing_kernels.cu —
+pathTrace_rayGen_generic:73, closest-hit :218, miss :310,
+performNextEventEstimation:18; MIS weights use the power heuristic and
+hypothetical area pdf exactly as the reference). Where the reference runs one
+divergent megakernel per pixel with OptiX payloads, this integrator advances
+ALL paths one vertex at a time over SoA state with masked lanes — the
+wavefront formulation that XLA/TPU wants (SURVEY.md §7 design stance).
+
+Config toggles mirror the reference's compile-time constants
+(optix_pathtracing_kernels.cu:12-16).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gfxexp_tpu.accel.bvh_build import BVH
+from gfxexp_tpu.accel.traverse import intersect_any, intersect_closest
+from gfxexp_tpu.core.math import (
+    luminance,
+    make_frame,
+    normalize,
+    offset_ray_origin,
+    to_local,
+    to_world,
+)
+from gfxexp_tpu.core.rng import SampleStream
+from gfxexp_tpu.render.bsdf import (
+    bsdf_evaluate,
+    bsdf_pdf,
+    bsdf_sample,
+    material_params,
+)
+from gfxexp_tpu.render.camera import Camera, generate_rays
+from gfxexp_tpu.scene.lights import (
+    env_pdf,
+    env_radiance,
+    light_selection_probs,
+    sample_light,
+    surface_light_pdf,
+)
+from gfxexp_tpu.scene.types import SceneData
+
+_PI = jnp.pi
+
+
+@dataclasses.dataclass(frozen=True)
+class PTConfig:
+    """Static (trace-time) integrator configuration (reference: compile-time
+    constants + per-frame params, path_tracing_shared.h:131-186)."""
+
+    max_path_length: int = 5
+    enable_jitter: bool = True
+    enable_env: bool = True
+    use_implicit_light_sampling: bool = True
+    use_explicit_light_sampling: bool = True
+    russian_roulette: bool = True
+
+    @property
+    def use_mis(self):
+        return self.use_implicit_light_sampling and self.use_explicit_light_sampling
+
+
+@struct.dataclass
+class SurfacePoint:
+    """Per-lane surface interaction (reference: computeSurfacePoint,
+    path_tracing_shared.h:484-621)."""
+
+    position: jnp.ndarray  # [R, 3]
+    geom_normal: jnp.ndarray  # [R, 3] unit geometric normal
+    shading_normal: jnp.ndarray  # [R, 3]
+    texcoord: jnp.ndarray  # [R, 2]
+    unit: jnp.ndarray  # [R] int32
+    material: jnp.ndarray  # [R] int32
+    emittance: jnp.ndarray  # [R, 3]
+
+
+def compute_surface_point(scene: SceneData, tri_idx, u, v) -> SurfacePoint:
+    tris = scene.triangles
+    tri_idx = jnp.maximum(tri_idx, 0)  # missed lanes gather slot 0 (masked out later)
+    p0 = tris.p0[tri_idx]
+    e1 = tris.e1[tri_idx]
+    e2 = tris.e2[tri_idx]
+    position = p0 + u[..., None] * e1 + v[..., None] * e2
+    gn = normalize(jnp.cross(e1, e2))
+    w = 1.0 - u - v
+    sn = (
+        w[..., None] * tris.n0[tri_idx]
+        + u[..., None] * tris.n1[tri_idx]
+        + v[..., None] * tris.n2[tri_idx]
+    )
+    sn = normalize(sn)
+    tc = (
+        w[..., None] * tris.uv0[tri_idx]
+        + u[..., None] * tris.uv1[tri_idx]
+        + v[..., None] * tris.uv2[tri_idx]
+    )
+    unit = tris.unit_id[tri_idx]
+    mat = scene.units.material[unit]
+    return SurfacePoint(
+        position=position,
+        geom_normal=gn,
+        shading_normal=sn,
+        texcoord=tc,
+        unit=unit,
+        material=mat,
+        emittance=scene.materials.emittance[mat],
+    )
+
+
+def _next_event(scene, bvh, sp: SurfacePoint, v_out_local, frame, params, rs,
+                cfg: PTConfig):
+    """NEE with MIS (reference: performNextEventEstimation,
+    optix_pathtracing_kernels.cu:18-48 + performDirectLighting,
+    path_tracing_shared.h:419-457). Returns [R, 3] contribution."""
+    t, b, n = frame
+    u_light = rs.next()
+    u0, u1 = rs.next2()
+    ls = sample_light(scene, u_light, u0, u1)
+
+    shadow_vec = jnp.where(
+        ls.at_infinity[..., None], ls.position, ls.position - sp.position
+    )
+    dist2 = jnp.maximum(jnp.sum(shadow_vec * shadow_vec, axis=-1), 1e-12)
+    dist = jnp.sqrt(dist2)
+    shadow_dir = shadow_vec / dist[..., None]
+    v_in_local = to_local(t, b, n, shadow_dir)
+
+    lp_cos = jnp.sum(-shadow_dir * ls.normal, axis=-1)
+    sp_cos = v_in_local[..., 2]
+
+    # MIS weight (power heuristic) against the BSDF strategy
+    if cfg.use_mis:
+        lp_cos_abs = jnp.abs(lp_cos)
+        bsdf_p = bsdf_pdf(params, v_out_local, v_in_local) * lp_cos_abs / dist2
+        bsdf_p = jnp.where(jnp.isfinite(bsdf_p), bsdf_p, 0.0)
+        light_p = ls.pdf
+        mis = jnp.where(
+            light_p > 0.0,
+            light_p**2 / jnp.maximum(bsdf_p**2 + light_p**2, 1e-30),
+            0.0,
+        )
+    else:
+        mis = jnp.ones_like(ls.pdf)
+
+    potential = (ls.pdf > 0.0) & (lp_cos > 0.0)
+    # shadow ray (reference traces with tmax = 0.9999 dist; env dist = 1e10)
+    shadow_tmax = jnp.where(ls.at_infinity, 1e10, dist * 0.9999)
+    occluded = intersect_any(
+        bvh, scene.triangles, sp.position, shadow_dir, t_min=0.0, t_max=shadow_tmax
+    )
+    visible = potential & ~occluded
+
+    le = ls.emittance / _PI  # diffuse emitter
+    f_val = bsdf_evaluate(params, v_out_local, v_in_local)
+    g = lp_cos * jnp.abs(sp_cos) / dist2
+    g = jnp.where(ls.at_infinity, jnp.abs(sp_cos), g)  # env: dist=1, lpCos=1
+    contrib = f_val * le * (g * mis / jnp.maximum(ls.pdf, 1e-30))[..., None]
+    return jnp.where(visible[..., None], contrib, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "cfg"))
+def render_sample(
+    scene: SceneData,
+    bvh: BVH,
+    camera: Camera,
+    width: int,
+    height: int,
+    sample_idx,
+    cfg: PTConfig = PTConfig(),
+):
+    """Render one sample per pixel; returns radiance [H*W, 3]. Deterministic
+    in (pixel, sample_idx) via counter-based RNG.
+
+    Jitted with scene/bvh/camera as *traced* arguments — do NOT close over
+    scene arrays in an outer jit (XLA would embed them as constants and
+    recompile per scene)."""
+    n = width * height
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    sample_idx = jnp.asarray(sample_idx, jnp.uint32)
+
+    rs_cam = SampleStream(lane, sample_idx, stream=0xFFFF)
+    if cfg.enable_jitter:
+        jx, jy = rs_cam.next2()
+    else:
+        jx = jnp.full((n,), 0.5, jnp.float32)
+        jy = jnp.full((n,), 0.5, jnp.float32)
+    ray_o, ray_d = generate_rays(camera, width, height, jx, jy)
+
+    contribution = jnp.zeros((n, 3), jnp.float32)
+    throughput = jnp.ones((n, 3), jnp.float32)
+    alive = jnp.ones((n,), bool)
+    prev_pdf = jnp.zeros((n,), jnp.float32)  # solid-angle pdf of prev bounce
+
+    use_env = cfg.enable_env and scene.env is not None
+    p_env_sel, _ = light_selection_probs(scene)
+
+    for bounce in range(1, cfg.max_path_length + 1):
+        rs = SampleStream(lane, sample_idx, stream=bounce)
+        hit = intersect_closest(bvh, scene.triangles, ray_o, ray_d,
+                                t_min=0.0, t_max=1e30)
+        hit_ok = alive & hit.hit
+        miss = alive & ~hit.hit
+
+        # ---- miss: environment contribution -----------------------------
+        if use_env:
+            env_l = env_radiance(scene.env, ray_d)
+            if bounce == 1 or not cfg.use_mis:
+                env_mis = jnp.ones((n,), jnp.float32)
+            else:
+                light_p = p_env_sel * env_pdf(scene.env, ray_d)
+                env_mis = prev_pdf**2 / jnp.maximum(prev_pdf**2 + light_p**2, 1e-30)
+            env_gate = miss if cfg.use_implicit_light_sampling or bounce == 1 else jnp.zeros_like(miss)
+            contribution = contribution + jnp.where(
+                env_gate[..., None], throughput * env_l * env_mis[..., None], 0.0
+            )
+
+        if not cfg.use_implicit_light_sampling and bounce > 1:
+            pass  # implicit surface-emitter hits ignored in this mode
+
+        sp = compute_surface_point(scene, hit.tri, hit.u, hit.v)
+        v_out = -ray_d
+        front = jnp.sum(v_out * sp.geom_normal, axis=-1) >= 0.0
+        gn_signed = jnp.where(front[..., None], sp.geom_normal, -sp.geom_normal)
+        pos_off = offset_ray_origin(sp.position, gn_signed)
+        t, b = make_frame(sp.shading_normal)
+        nrm = sp.shading_normal
+        v_out_local = to_local(t, b, nrm, v_out)
+
+        # ---- implicit emitter contribution ------------------------------
+        emissive = jnp.any(sp.emittance > 0.0, axis=-1) & (v_out_local[..., 2] > 0.0)
+        if cfg.use_implicit_light_sampling or bounce == 1:
+            if bounce == 1 or not cfg.use_mis:
+                mis_w = jnp.ones((n,), jnp.float32)
+            else:
+                dist2 = jnp.maximum(hit.t**2, 1e-12)
+                hyp_area = surface_light_pdf(scene, jnp.maximum(hit.tri, 0))
+                _, p_surf_sel = light_selection_probs(scene)
+                light_p = (
+                    p_surf_sel
+                    * hyp_area
+                    * dist2
+                    / jnp.maximum(v_out_local[..., 2], 1e-6)
+                )
+                mis_w = prev_pdf**2 / jnp.maximum(prev_pdf**2 + light_p**2, 1e-30)
+            gate = hit_ok & emissive
+            contribution = contribution + jnp.where(
+                gate[..., None], throughput * sp.emittance * (mis_w / _PI)[..., None], 0.0
+            )
+
+        alive = hit_ok
+
+        # ---- Russian roulette (reference: CH :264-268; init importance is
+        # the camera-path luminance 1.0) ---------------------------------
+        if cfg.russian_roulette and bounce > 1:
+            cont_prob = jnp.minimum(luminance(throughput), 1.0)
+            u_rr = rs.next()
+            alive = alive & (u_rr < cont_prob)
+            throughput = throughput / jnp.maximum(cont_prob, 1e-8)[..., None]
+        if bounce == cfg.max_path_length:
+            break  # final vertex only collects implicit light
+
+        # ---- NEE ---------------------------------------------------------
+        params = material_params(scene.materials, sp.material)
+        sp_off = sp.replace(position=pos_off)
+        if cfg.use_explicit_light_sampling:
+            nee = _next_event(scene, bvh, sp_off, v_out_local, (t, b, nrm),
+                              params, rs, cfg)
+            contribution = contribution + jnp.where(
+                alive[..., None], throughput * nee, 0.0
+            )
+
+        # ---- sample next direction --------------------------------------
+        u0, u1 = rs.next2()
+        v_in_local, f_val, pdf = bsdf_sample(params, v_out_local, u0, u1)
+        valid = (pdf > 0.0) & jnp.isfinite(pdf)
+        thr = f_val * (jnp.abs(v_in_local[..., 2]) / jnp.maximum(pdf, 1e-30))[..., None]
+        throughput = jnp.where((alive & valid)[..., None], throughput * thr, throughput)
+        alive = alive & valid
+        v_in = to_world(t, b, nrm, v_in_local)
+        ray_o = pos_off
+        ray_d = normalize(v_in)
+        prev_pdf = pdf
+
+    return contribution
+
+
+def accumulate(accum, new_sample, num_accum_frames):
+    """Progressive running mean (reference: optix_pathtracing_kernels.cu:
+    206-214)."""
+    w = 1.0 / (1.0 + num_accum_frames)
+    return (1.0 - w) * accum + w * new_sample

@@ -1,0 +1,393 @@
+"""Host-side scene construction -> device SceneData.
+
+Mirrors the reference's host scene framework (reference: common_host.h —
+Material:621, GeometryInstance:717, GeometryGroup:752, Mesh:769, Instance:777,
+Scene:859; factories createLambertMaterial / createDiffuseAndSpecularMaterial /
+createSimplePBRMaterial common_host.cpp:1454/1556/1689, createTriangleMeshes
+:2178, createRectangleLight :2431, createSphereLight :2478) but compiles the
+instance graph down to flat world-space SoA tables (scene/types.py) instead of
+building OptiX acceleration structures.
+
+All heavy math here is numpy (host, once per scene edit); per-frame animation
+re-uses the compiled index structure and only re-transforms on device
+(scene/animation.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from gfxexp_tpu.core.distributions import build_continuous_2d
+from gfxexp_tpu.core.math import np_normalize
+from gfxexp_tpu.scene.types import (
+    BSDF_DIFFUSE_SPECULAR,
+    BSDF_LAMBERT,
+    BSDF_SIMPLE_PBR,
+    EnvLight,
+    InstanceTable,
+    MaterialTable,
+    SceneData,
+    TriangleSoA,
+    UnitTable,
+)
+
+_LUMA = np.array([0.2126729, 0.7151522, 0.0721750])
+
+
+@dataclasses.dataclass
+class HostMaterial:
+    bsdf_type: int = BSDF_LAMBERT
+    diffuse_color: Tuple[float, float, float] = (0.8, 0.8, 0.8)
+    specular_f0: Tuple[float, float, float] = (0.04, 0.04, 0.04)
+    roughness: float = 0.3
+    metallic: float = 0.0
+    emittance: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    diffuse_tex: int = -1
+    emittance_tex: int = -1
+    normal_tex: int = -1
+    name: str = ""
+
+
+@dataclasses.dataclass
+class HostGeometry:
+    """One geometry instance: triangle mesh with a single material slot
+    (reference: GeometryInstance, common_host.h:717)."""
+
+    positions: np.ndarray  # [V, 3] float32, object space
+    normals: np.ndarray  # [V, 3]
+    texcoords: np.ndarray  # [V, 2]
+    indices: np.ndarray  # [F, 3] int32
+    material: int  # material slot
+
+
+@dataclasses.dataclass
+class HostInstance:
+    """Placement of a list of geometries (a 'group'/mesh) in the world
+    (reference: Instance, common_host.h:777)."""
+
+    geometries: List[int]  # indices into SceneBuilder.geometries
+    transform: np.ndarray  # [3, 4] object->world
+    controller: Optional[object] = None  # scene/animation.py InstanceController
+
+
+def affine(rotation=None, translation=None, scale=None) -> np.ndarray:
+    r = np.eye(3) if rotation is None else np.asarray(rotation, np.float64)
+    if scale is not None:
+        s = np.broadcast_to(np.atleast_1d(np.asarray(scale, np.float64)), (3,))
+        r = r * s[None, :]
+    t = np.zeros(3) if translation is None else np.asarray(translation, np.float64)
+    return np.concatenate([r, t[:, None]], axis=1).astype(np.float32)
+
+
+class SceneBuilder:
+    """Accumulates materials / geometries / instances, then `compile()`s to a
+    device SceneData pytree."""
+
+    def __init__(self):
+        self.materials: List[HostMaterial] = []
+        self.geometries: List[HostGeometry] = []
+        self.instances: List[HostInstance] = []
+        self.env_radiance: Optional[np.ndarray] = None  # [H, W, 3]
+        self.env_power: float = 1.0
+        self.env_rotation: float = 0.0
+
+    # -- materials ---------------------------------------------------------
+
+    def add_material(self, mat: HostMaterial) -> int:
+        self.materials.append(mat)
+        return len(self.materials) - 1
+
+    def add_lambert_material(self, reflectance, emittance=(0, 0, 0), name="") -> int:
+        return self.add_material(
+            HostMaterial(
+                bsdf_type=BSDF_LAMBERT,
+                diffuse_color=tuple(reflectance),
+                emittance=tuple(emittance),
+                name=name,
+            )
+        )
+
+    def add_diffuse_specular_material(
+        self, diffuse, specular_f0, smoothness, emittance=(0, 0, 0), name=""
+    ) -> int:
+        return self.add_material(
+            HostMaterial(
+                bsdf_type=BSDF_DIFFUSE_SPECULAR,
+                diffuse_color=tuple(diffuse),
+                specular_f0=tuple(specular_f0),
+                roughness=float(1.0 - smoothness),
+                emittance=tuple(emittance),
+                name=name,
+            )
+        )
+
+    def add_simple_pbr_material(
+        self, base_color, roughness, metallic, emittance=(0, 0, 0), name=""
+    ) -> int:
+        base = np.asarray(base_color, np.float64)
+        m = float(metallic)
+        return self.add_material(
+            HostMaterial(
+                bsdf_type=BSDF_SIMPLE_PBR,
+                # SimplePBR maps onto the diffuse+specular parameterization
+                # (reference: SimplePBR_BRDF::setup, common_device.cuh:767)
+                diffuse_color=tuple(base * (1.0 - m)),
+                specular_f0=tuple(0.04 * (1.0 - m) + base * m),
+                roughness=float(roughness),
+                metallic=m,
+                emittance=tuple(emittance),
+                name=name,
+            )
+        )
+
+    # -- geometry ----------------------------------------------------------
+
+    def add_geometry(
+        self, positions, indices, material, normals=None, texcoords=None
+    ) -> int:
+        positions = np.asarray(positions, np.float32).reshape(-1, 3)
+        indices = np.asarray(indices, np.int32).reshape(-1, 3)
+        if normals is None:
+            normals = compute_smooth_normals(positions, indices)
+        else:
+            normals = np.asarray(normals, np.float32).reshape(-1, 3)
+        if texcoords is None:
+            texcoords = np.zeros((positions.shape[0], 2), np.float32)
+        else:
+            texcoords = np.asarray(texcoords, np.float32).reshape(-1, 2)
+        self.geometries.append(
+            HostGeometry(positions, normals, texcoords, indices, int(material))
+        )
+        return len(self.geometries) - 1
+
+    def add_rectangle(self, dim_x, dim_z, material) -> int:
+        """XZ-plane rectangle centered at origin, +Y normal
+        (reference: createRectangleLight, common_host.cpp:2431)."""
+        hx, hz = dim_x * 0.5, dim_z * 0.5
+        positions = np.array(
+            [[-hx, 0, -hz], [hx, 0, -hz], [hx, 0, hz], [-hx, 0, hz]], np.float32
+        )
+        normals = np.tile(np.array([[0, 1, 0]], np.float32), (4, 1))
+        texcoords = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32)
+        indices = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        self.geometries.append(
+            HostGeometry(positions, normals, texcoords, indices, int(material))
+        )
+        return len(self.geometries) - 1
+
+    def add_sphere(self, radius, material, n_theta=32, n_phi=64) -> int:
+        """UV sphere (reference: createSphereLight, common_host.cpp:2478)."""
+        th = np.linspace(0, np.pi, n_theta + 1)
+        ph = np.linspace(0, 2 * np.pi, n_phi, endpoint=False)
+        tt, pp = np.meshgrid(th, ph, indexing="ij")
+        x = np.sin(tt) * np.cos(pp)
+        y = np.cos(tt)
+        z = np.sin(tt) * np.sin(pp)
+        pos = np.stack([x, y, z], axis=-1).reshape(-1, 3).astype(np.float32)
+        nrm = pos.copy()
+        uv = np.stack([pp / (2 * np.pi), 1.0 - tt / np.pi], axis=-1).reshape(-1, 2)
+        idx = []
+        for i in range(n_theta):
+            for j in range(n_phi):
+                a = i * n_phi + j
+                b = i * n_phi + (j + 1) % n_phi
+                c = (i + 1) * n_phi + j
+                d = (i + 1) * n_phi + (j + 1) % n_phi
+                if i > 0:
+                    idx.append([a, b, c])
+                if i < n_theta - 1:
+                    idx.append([b, d, c])
+        self.geometries.append(
+            HostGeometry(
+                pos * radius,
+                nrm.astype(np.float32),
+                uv.astype(np.float32),
+                np.asarray(idx, np.int32),
+                int(material),
+            )
+        )
+        return len(self.geometries) - 1
+
+    # -- instances ---------------------------------------------------------
+
+    def add_instance(
+        self, geometries, transform=None, controller=None
+    ) -> int:
+        if isinstance(geometries, int):
+            geometries = [geometries]
+        if transform is None:
+            transform = affine()
+        self.instances.append(
+            HostInstance(list(geometries), np.asarray(transform, np.float32), controller)
+        )
+        return len(self.instances) - 1
+
+    # -- environment -------------------------------------------------------
+
+    def set_environment(self, radiance_hw3, power_coeff=1.0, rotation=0.0):
+        self.env_radiance = np.asarray(radiance_hw3, np.float32)
+        self.env_power = float(power_coeff)
+        self.env_rotation = float(rotation)
+
+    # -- compile -----------------------------------------------------------
+
+    def compile(self) -> SceneData:
+        """Flatten instance graph to world-space SoA tables + light CDFs."""
+        if not self.instances:
+            raise ValueError("scene has no instances")
+        mats = self.materials or [HostMaterial()]
+
+        tri_chunks = {k: [] for k in (
+            "p0", "e1", "e2", "n0", "n1", "n2", "uv0", "uv1", "uv2", "unit")}
+        unit_material, unit_instance = [], []
+        unit_tri_offset, unit_tri_count = [], []
+        unit_importance = []
+        tri_pmf_chunks, tri_cdf_chunks = [], []
+        inst_transform, inst_scale = [], []
+
+        tri_cursor = 0
+        unit_cursor = 0
+        for inst_id, inst in enumerate(self.instances):
+            m = inst.transform.astype(np.float64)
+            rot = m[:, :3]
+            inst_transform.append(inst.transform)
+            # approximate uniform scale as cbrt |det| (reference assumes
+            # uniform scaling for light importance, common_host.h Instance)
+            inst_scale.append(float(np.cbrt(max(abs(np.linalg.det(rot)), 1e-30))))
+            nrm_mat = np.linalg.inv(rot).T
+            for geom_id in inst.geometries:
+                g = self.geometries[geom_id]
+                v = g.positions @ rot.T + m[:, 3]
+                n = np_normalize(g.normals @ nrm_mat.T)
+                i0, i1, i2 = g.indices[:, 0], g.indices[:, 1], g.indices[:, 2]
+                p0, p1, p2 = v[i0], v[i1], v[i2]
+                tri_chunks["p0"].append(p0)
+                tri_chunks["e1"].append(p1 - p0)
+                tri_chunks["e2"].append(p2 - p0)
+                tri_chunks["n0"].append(n[i0])
+                tri_chunks["n1"].append(n[i1])
+                tri_chunks["n2"].append(n[i2])
+                tri_chunks["uv0"].append(g.texcoords[i0])
+                tri_chunks["uv1"].append(g.texcoords[i1])
+                tri_chunks["uv2"].append(g.texcoords[i2])
+                nt = len(g.indices)
+                tri_chunks["unit"].append(np.full(nt, unit_cursor, np.int32))
+
+                # per-triangle emissive importance = world area x emittance
+                # luminance (reference: computeTriangleProbBuffer,
+                # gpu_kernels/compute_light_probs.cu)
+                area = 0.5 * np.linalg.norm(np.cross(p1 - p0, p2 - p0), axis=-1)
+                emit_lum = float(np.dot(_LUMA, mats[g.material].emittance))
+                w = area * emit_lum
+                total = w.sum()
+                if total > 0:
+                    pmf = w / total
+                else:
+                    pmf = np.zeros(nt)
+                cdf = np.concatenate([[0.0], np.cumsum(pmf)[:-1]])
+                tri_pmf_chunks.append(pmf.astype(np.float32))
+                tri_cdf_chunks.append(cdf.astype(np.float32))
+
+                unit_material.append(g.material)
+                unit_instance.append(inst_id)
+                unit_tri_offset.append(tri_cursor)
+                unit_tri_count.append(nt)
+                unit_importance.append(float(total))
+                tri_cursor += nt
+                unit_cursor += 1
+
+        def cat(key):
+            return jnp.asarray(np.concatenate(tri_chunks[key]).astype(
+                np.int32 if key == "unit" else np.float32))
+
+        triangles = TriangleSoA(
+            p0=cat("p0"), e1=cat("e1"), e2=cat("e2"),
+            n0=cat("n0"), n1=cat("n1"), n2=cat("n2"),
+            uv0=cat("uv0"), uv1=cat("uv1"), uv2=cat("uv2"),
+            unit_id=cat("unit"),
+        )
+
+        unit_importance = np.asarray(unit_importance, np.float64)
+        total_imp = unit_importance.sum()
+        unit_pmf = unit_importance / total_imp if total_imp > 0 else np.zeros_like(unit_importance)
+        unit_cdf = np.concatenate([[0.0], np.cumsum(unit_pmf)])
+
+        n_total_tris = tri_cursor
+        units = UnitTable(
+            material=jnp.asarray(unit_material, jnp.int32),
+            instance=jnp.asarray(unit_instance, jnp.int32),
+            tri_offset=jnp.asarray(unit_tri_offset, jnp.int32),
+            tri_count=jnp.asarray(unit_tri_count, jnp.int32),
+            light_tri_cdf=jnp.asarray(np.concatenate(tri_cdf_chunks), jnp.float32),
+            light_tri_index=jnp.arange(n_total_tris, dtype=jnp.int32),
+            light_tri_pmf=jnp.asarray(np.concatenate(tri_pmf_chunks), jnp.float32),
+            emissive_importance=jnp.asarray(unit_importance, jnp.float32),
+        )
+
+        transforms = np.stack(inst_transform).astype(np.float32)
+        inv = np.zeros_like(transforms)
+        for i, t in enumerate(transforms):
+            r_inv = np.linalg.inv(t[:, :3].astype(np.float64))
+            inv[i, :, :3] = r_inv
+            inv[i, :, 3] = -r_inv @ t[:, 3].astype(np.float64)
+        instances = InstanceTable(
+            transform=jnp.asarray(transforms),
+            inv_transform=jnp.asarray(inv),
+            prev_transform=jnp.asarray(transforms),
+            uniform_scale=jnp.asarray(inst_scale, jnp.float32),
+        )
+
+        materials = MaterialTable(
+            bsdf_type=jnp.asarray([m.bsdf_type for m in mats], jnp.int32),
+            diffuse_color=jnp.asarray([m.diffuse_color for m in mats], jnp.float32),
+            specular_f0=jnp.asarray([m.specular_f0 for m in mats], jnp.float32),
+            roughness=jnp.asarray([m.roughness for m in mats], jnp.float32),
+            metallic=jnp.asarray([m.metallic for m in mats], jnp.float32),
+            emittance=jnp.asarray([m.emittance for m in mats], jnp.float32),
+            diffuse_tex=jnp.asarray([m.diffuse_tex for m in mats], jnp.int32),
+            emittance_tex=jnp.asarray([m.emittance_tex for m in mats], jnp.int32),
+            normal_tex=jnp.asarray([m.normal_tex for m in mats], jnp.int32),
+        )
+
+        env = None
+        if self.env_radiance is not None:
+            # importance = luminance x sin(theta) (lat-long solid-angle factor,
+            # reference: loadEnvironmentalTexture, common_host.cpp:2658)
+            h, w = self.env_radiance.shape[:2]
+            lum = self.env_radiance @ _LUMA
+            sin_t = np.sin(np.pi * (np.arange(h) + 0.5) / h)
+            env = EnvLight(
+                radiance=jnp.asarray(self.env_radiance),
+                importance=build_continuous_2d(lum * sin_t[:, None]),
+                power_coeff=jnp.float32(self.env_power),
+                rotation=jnp.float32(self.env_rotation),
+                enabled=jnp.asarray(True),
+            )
+
+        return SceneData(
+            materials=materials,
+            triangles=triangles,
+            units=units,
+            instances=instances,
+            light_unit_cdf=jnp.asarray(unit_cdf, jnp.float32),
+            light_unit_pmf=jnp.asarray(unit_pmf, jnp.float32),
+            total_emissive_importance=jnp.float32(total_imp),
+            env=env,
+        )
+
+
+def compute_smooth_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals (reference computes normals on load when the
+    model lacks them via assimp postprocess)."""
+    n = np.zeros_like(positions, dtype=np.float64)
+    p0 = positions[indices[:, 0]]
+    p1 = positions[indices[:, 1]]
+    p2 = positions[indices[:, 2]]
+    fn = np.cross(p1 - p0, p2 - p0)
+    for k in range(3):
+        np.add.at(n, indices[:, k], fn)
+    return np_normalize(n).astype(np.float32)

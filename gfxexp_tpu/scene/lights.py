@@ -1,0 +1,255 @@
+"""Light hierarchy sampling + pdf evaluation (device-side, batched).
+
+Reproduces the reference's light subsystem (reference:
+path_tracing/path_tracing_shared.h — sampleLight:221-416 incl. env importance
+sampling and the low-distortion square->triangle map; probToSampleEnvLight =
+0.25 :6; light PMFs built per frame by common/gpu_kernels/compute_light_probs.cu).
+
+Differences by design: the reference's 3-level hierarchy (instance ->
+geomInst -> primitive) collapses to 2 levels here (flattened unit ->
+primitive) with identical resulting probabilities, because instances are
+flattened into world-space units at scene compile (scene/types.py rationale).
+
+Conventions (matching the reference):
+- emitters are diffuse: radiance Le = emittance / pi
+- surface samples return a pdf w.r.t. area; env samples return pdf w.r.t.
+  solid angle (the reference folds this into 'areaPDensity' with dist=1)
+- env direction for (u, v): phi = 2 pi u - rotation, theta = pi v, y-up
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from gfxexp_tpu.core.distributions import (
+    continuous_2d_pdf,
+    sample_continuous_2d,
+)
+from gfxexp_tpu.scene.types import SceneData
+
+_PI = jnp.pi
+PROB_SAMPLE_ENV = 0.25  # reference: path_tracing_shared.h:6
+
+
+@struct.dataclass
+class LightSample:
+    """SoA light sample (reference: shared::LightSample)."""
+
+    position: jnp.ndarray  # [R, 3] — for env lights this is the unit direction
+    normal: jnp.ndarray  # [R, 3]
+    emittance: jnp.ndarray  # [R, 3]
+    pdf: jnp.ndarray  # [R] area pdf (surface) or solid-angle pdf (env)
+    at_infinity: jnp.ndarray  # [R] bool
+
+
+def _square_to_triangle(u0, u1):
+    """Low-distortion square->triangle map (reference: sampleLight:402-411)."""
+    b_a = 0.5 * u0
+    b_b = 0.5 * u1
+    offset = b_b - b_a
+    b_b = jnp.where(offset > 0, b_b + offset, b_b)
+    b_a = jnp.where(offset > 0, b_a, b_a - offset)
+    return b_a, b_b
+
+
+def _segment_searchsorted(cdf_flat, offset, count, u, max_log2=20):
+    """Find largest i in [0, count) with cdf_flat[offset + i] <= u, where each
+    segment's cdf starts at 0 (exclusive prefix, final implicit 1.0)."""
+    lo = jnp.zeros_like(offset)
+    hi = jnp.maximum(count - 1, 0)
+    for _ in range(max_log2):
+        mid = (lo + hi + 1) // 2
+        mid_val = cdf_flat[offset + jnp.minimum(mid, jnp.maximum(count - 1, 0))]
+        go_right = (mid_val <= u) & (mid <= hi)
+        lo = jnp.where(go_right, mid, lo)
+        hi = jnp.where(go_right, hi, mid - 1)
+    return lo
+
+
+def env_dir_from_uv(env, u, v):
+    """(u, v) in [0,1)^2 -> world direction (y-up lat-long)."""
+    phi = 2.0 * _PI * u - env.rotation
+    theta = _PI * v
+    sin_t = jnp.sin(theta)
+    return jnp.stack(
+        [sin_t * jnp.cos(phi), jnp.cos(theta), sin_t * jnp.sin(phi)], axis=-1
+    )
+
+
+def env_uv_from_dir(env, d):
+    """World direction -> (u, v) in the rotated env map."""
+    theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
+    phi = jnp.arctan2(d[..., 2], d[..., 0])
+    u = (phi + env.rotation) / (2.0 * _PI)
+    u = u - jnp.floor(u)
+    v = theta / _PI
+    return u, v
+
+
+def env_radiance(env, d):
+    """Environment radiance for escaped rays (reference: PT miss program env
+    lookup with powerCoeff)."""
+    u, v = env_uv_from_dir(env, d)
+    h, w = env.radiance.shape[:2]
+    x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    return env.radiance[y, x] * env.power_coeff
+
+
+def env_pdf(env, d):
+    """Solid-angle pdf of importance-sampling direction d from the env map."""
+    u, v = env_uv_from_dir(env, d)
+    theta = _PI * v
+    uv_pdf = continuous_2d_pdf(env.importance, u, v)
+    sin_t = jnp.maximum(jnp.sin(theta), 1e-6)
+    return uv_pdf / (2.0 * _PI * _PI * sin_t)
+
+
+def sample_surface_light(scene: SceneData, u_sel, u0, u1) -> LightSample:
+    """Hierarchical emissive-surface sample: unit via scene CDF, triangle via
+    the unit's CDF, position via the square->triangle map."""
+    tris = scene.triangles
+    units = scene.units
+
+    unit = jnp.clip(
+        jnp.searchsorted(scene.light_unit_cdf, u_sel, side="right") - 1,
+        0,
+        scene.num_units - 1,
+    )
+    unit_pmf = scene.light_unit_pmf[unit]
+    # remap u_sel within the unit bin to reuse for triangle selection
+    lo = scene.light_unit_cdf[unit]
+    width = scene.light_unit_cdf[unit + 1] - lo
+    u_tri = jnp.clip(
+        jnp.where(width > 0, (u_sel - lo) / jnp.where(width > 0, width, 1.0), 0.0),
+        0.0,
+        1.0 - 1e-7,
+    )
+
+    offset = units.tri_offset[unit]
+    count = units.tri_count[unit]
+    local = _segment_searchsorted(units.light_tri_cdf, offset, count, u_tri)
+    tri = units.light_tri_index[offset + local]  # light order -> traversal order
+    tri_pmf = units.light_tri_pmf[tri]
+
+    b_a, b_b = _square_to_triangle(u0, u1)
+    p0 = tris.p0[tri]
+    e1 = tris.e1[tri]
+    e2 = tris.e2[tri]
+    # barycentrics: position = (1-b1-b2) p0 + b1 p1 + b2 p2; corner weights
+    # (bcA, bcB, bcC) from the low-distortion map with bcC = 1 - bcA - bcB
+    b_c = 1.0 - b_a - b_b
+    position = p0 + b_b[..., None] * e1 + b_c[..., None] * e2
+
+    cr = jnp.cross(e1, e2)
+    cr_len = jnp.linalg.norm(cr, axis=-1)
+    rec_area = 2.0 / jnp.maximum(cr_len, 1e-20)
+    pdf = unit_pmf * tri_pmf * rec_area
+
+    n0 = tris.n0[tri]
+    n1 = tris.n1[tri]
+    n2 = tris.n2[tri]
+    normal = b_a[..., None] * n0 + b_b[..., None] * n1 + b_c[..., None] * n2
+    normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-20)
+
+    mat = units.material[unit]
+    emittance = scene.materials.emittance[mat]
+    pdf = jnp.where(cr_len > 0, pdf, 0.0)
+
+    return LightSample(
+        position=position,
+        normal=normal,
+        emittance=emittance,
+        pdf=pdf,
+        at_infinity=jnp.zeros(pdf.shape, bool),
+    )
+
+
+def sample_env_light(scene: SceneData, u0, u1) -> LightSample:
+    env = scene.env
+    u, v, uv_pdf = sample_continuous_2d(env.importance, u1, u0)
+    # note: row pick (v axis) consumes the first uniform in our builder
+    direction = env_dir_from_uv(env, u, v)
+    sin_t = jnp.maximum(jnp.sin(_PI * v), 1e-6)
+    pdf = uv_pdf / (2.0 * _PI * _PI * sin_t)
+    h, w = env.radiance.shape[:2]
+    x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    # reference multiplies pi * powerCoeff so Le = emittance/pi = coeff * tex
+    emittance = _PI * env.power_coeff * env.radiance[y, x]
+    return LightSample(
+        position=direction,
+        normal=-direction,
+        emittance=emittance,
+        pdf=pdf,
+        at_infinity=jnp.ones(pdf.shape, bool),
+    )
+
+
+def sample_light(scene: SceneData, u_light, u0, u1) -> LightSample:
+    """Full light sample mixing env and surface lights with the reference's
+    fixed 0.25 env probability (when both exist). u_light selects the family
+    and is remapped into the chosen branch (reference:
+    performNextEventEstimation, optix_pathtracing_kernels.cu:24-42). The
+    returned pdf includes the selection probability."""
+    surface_ok = scene.total_emissive_importance > 0.0
+
+    if scene.env is None:
+        surf = sample_surface_light(scene, u_light, u0, u1)
+        pdf = jnp.where(surface_ok, surf.pdf, 0.0)
+        return surf.replace(pdf=pdf)
+
+    p_env = jnp.where(surface_ok, PROB_SAMPLE_ENV, 1.0) * jnp.where(
+        scene.env.enabled, 1.0, 0.0
+    )
+    pick_env = u_light < p_env
+    u_surf = jnp.clip(
+        (u_light - p_env) / jnp.maximum(1.0 - p_env, 1e-8), 0.0, 1.0 - 1e-7
+    )
+    surf = sample_surface_light(scene, u_surf, u0, u1)
+    envs = sample_env_light(scene, u0, u1)
+
+    def sel(e, s):
+        mask = pick_env
+        while mask.ndim < e.ndim:
+            mask = mask[..., None]
+        return jnp.where(mask, e, s)
+
+    pdf = jnp.where(
+        pick_env,
+        envs.pdf * p_env,
+        jnp.where(surface_ok, surf.pdf * (1.0 - p_env), 0.0),
+    )
+    return LightSample(
+        position=sel(envs.position, surf.position),
+        normal=sel(envs.normal, surf.normal),
+        emittance=sel(envs.emittance, surf.emittance),
+        pdf=pdf,
+        at_infinity=pick_env,
+    )
+
+
+def surface_light_pdf(scene: SceneData, tri_idx):
+    """Area pdf of sampling triangle `tri_idx`'s surface point via
+    sample_surface_light — for MIS weighting of implicit hits (reference:
+    computeHypotheticalAreaPDensity in CH programs)."""
+    tris = scene.triangles
+    unit = tris.unit_id[tri_idx]
+    unit_pmf = scene.light_unit_pmf[unit]
+    tri_pmf = scene.units.light_tri_pmf[tri_idx]
+    cr = jnp.cross(tris.e1[tri_idx], tris.e2[tri_idx])
+    cr_len = jnp.linalg.norm(cr, axis=-1)
+    rec_area = 2.0 / jnp.maximum(cr_len, 1e-20)
+    return unit_pmf * tri_pmf * rec_area
+
+
+def light_selection_probs(scene: SceneData):
+    """(p_env, p_surface) selection probabilities for MIS pdf composition."""
+    surface_ok = scene.total_emissive_importance > 0.0
+    if scene.env is None:
+        return jnp.asarray(0.0), jnp.where(surface_ok, 1.0, 0.0)
+    p_env = jnp.where(surface_ok, PROB_SAMPLE_ENV, 1.0) * jnp.where(
+        scene.env.enabled, 1.0, 0.0
+    )
+    return p_env, jnp.where(surface_ok, 1.0 - p_env, 0.0)

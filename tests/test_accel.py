@@ -1,0 +1,101 @@
+"""BVH build + traversal tests against the brute-force oracle
+(SURVEY.md §4: replaces the reference's sandbox/VDB eyeball validation of
+bvh::buildGeometryBVH / traverse, nrtdsm_sandbox.cpp:2981)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gfxexp_tpu.accel.bvh_build import build_bvh, build_bvh_arrays
+from gfxexp_tpu.accel.traverse import (
+    intersect_any,
+    intersect_closest,
+    intersect_closest_brute,
+)
+from gfxexp_tpu.scene.types import TriangleSoA
+
+
+def _random_tri_soup(rng_np, n_tris=200, spread=4.0):
+    centers = rng_np.uniform(-spread, spread, size=(n_tris, 3))
+    p0 = centers + rng_np.normal(scale=0.4, size=(n_tris, 3))
+    p1 = centers + rng_np.normal(scale=0.4, size=(n_tris, 3))
+    p2 = centers + rng_np.normal(scale=0.4, size=(n_tris, 3))
+    return p0.astype(np.float32), p1.astype(np.float32), p2.astype(np.float32)
+
+
+def _make_soa(p0, p1, p2):
+    zeros3 = jnp.zeros_like(jnp.asarray(p0))
+    zeros2 = jnp.zeros((p0.shape[0], 2), jnp.float32)
+    return TriangleSoA(
+        p0=jnp.asarray(p0), e1=jnp.asarray(p1 - p0), e2=jnp.asarray(p2 - p0),
+        n0=zeros3, n1=zeros3, n2=zeros3,
+        uv0=zeros2, uv1=zeros2, uv2=zeros2,
+        unit_id=jnp.zeros((p0.shape[0],), jnp.int32),
+    )
+
+
+def test_bvh_invariants(rng_np):
+    p0, p1, p2 = _random_tri_soup(rng_np, 500)
+    tri_min = np.minimum(np.minimum(p0, p1), p2)
+    tri_max = np.maximum(np.maximum(p0, p1), p2)
+    cmin, cmax, cidx, ccount, perm, max_depth = build_bvh_arrays(tri_min, tri_max, arity=4)
+    # every triangle appears exactly once across leaves
+    seen = np.zeros(500, bool)
+    for n in range(cidx.shape[0]):
+        for k in range(4):
+            if ccount[n, k] > 0:
+                rng_slice = slice(cidx[n, k], cidx[n, k] + ccount[n, k])
+                assert not seen[rng_slice].any()
+                seen[rng_slice] = True
+                # leaf AABB contains its (permuted) triangles
+                ids = perm[rng_slice]
+                assert np.all(tri_min[ids] >= cmin[n, k] - 1e-4)
+                assert np.all(tri_max[ids] <= cmax[n, k] + 1e-4)
+    assert seen.all()
+    assert 1 <= max_depth < 64
+
+
+@pytest.mark.parametrize("arity", [2, 4, 8])
+def test_traversal_matches_bruteforce(rng_np, arity):
+    p0, p1, p2 = _random_tri_soup(rng_np, 300)
+    bvh, perm = build_bvh(p0, p1 - p0, p2 - p0, arity=arity)
+    soa = _make_soa(p0[perm], p1[perm], p2[perm])
+
+    n_rays = 256
+    o = rng_np.uniform(-8, 8, size=(n_rays, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    hit_bvh = intersect_closest(bvh, soa, jnp.asarray(o), jnp.asarray(d))
+    hit_ref = intersect_closest_brute(soa, jnp.asarray(o), jnp.asarray(d))
+
+    assert np.array_equal(np.asarray(hit_bvh.hit), np.asarray(hit_ref.hit))
+    m = np.asarray(hit_ref.hit)
+    assert np.allclose(np.asarray(hit_bvh.t)[m], np.asarray(hit_ref.t)[m], rtol=1e-4)
+    assert np.array_equal(np.asarray(hit_bvh.tri)[m], np.asarray(hit_ref.tri)[m])
+
+
+def test_any_hit_matches_closest(rng_np):
+    p0, p1, p2 = _random_tri_soup(rng_np, 300)
+    bvh, perm = build_bvh(p0, p1 - p0, p2 - p0, arity=4)
+    soa = _make_soa(p0[perm], p1[perm], p2[perm])
+    n_rays = 256
+    o = rng_np.uniform(-8, 8, size=(n_rays, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    occluded = intersect_any(bvh, soa, jnp.asarray(o), jnp.asarray(d))
+    closest = intersect_closest(bvh, soa, jnp.asarray(o), jnp.asarray(d))
+    assert np.array_equal(np.asarray(occluded), np.asarray(closest.hit))
+
+
+def test_tmax_respected(rng_np):
+    p0 = np.array([[0.0, -1.0, 5.0]], np.float32)
+    p1 = np.array([[1.0, 1.0, 5.0]], np.float32)
+    p2 = np.array([[-1.0, 1.0, 5.0]], np.float32)
+    bvh, perm = build_bvh(p0, p1 - p0, p2 - p0)
+    soa = _make_soa(p0, p1, p2)
+    o = jnp.asarray([[0.0, 0.0, 0.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    assert bool(intersect_closest(bvh, soa, o, d).hit[0])
+    assert not bool(intersect_closest(bvh, soa, o, d, t_max=4.0).hit[0])
+    assert not bool(intersect_any(bvh, soa, o, d, t_max=4.0)[0])

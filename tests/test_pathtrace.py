@@ -1,0 +1,107 @@
+"""Integrator correctness: furnace test, analytic direct lighting, MIS
+estimator consistency (SURVEY.md §4 golden/convergence strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gfxexp_tpu.render.camera import make_camera
+from gfxexp_tpu.render.pathtrace import PTConfig, render_sample
+from gfxexp_tpu.scene.compile import compile_scene
+
+from scenes import furnace_scene, quad_light_scene
+
+
+def _mean_radiance(scene, bvh, camera, w, h, spp, cfg, mask_fn=None):
+    acc = np.zeros((w * h, 3), np.float64)
+    for s in range(spp):
+        acc += np.asarray(render_sample(scene, bvh, camera, w, h, jnp.uint32(s), cfg))
+    return acc / spp
+
+
+@pytest.mark.slow
+def test_furnace():
+    """White furnace: a Lambert sphere with albedo 1 in a unit environment
+    must render to exactly 1.0 everywhere (a convex body has no
+    self-interreflection, so one bounce must already conserve energy) —
+    the fundamental test for BSDF sampling + env MIS."""
+    scene, bvh = compile_scene(furnace_scene(albedo=1.0))
+    w = h = 24
+    cam = make_camera([0, 0, 4.0], fov_y=np.deg2rad(40), aspect=1.0, target=[0, 0, 0])
+    cfg = PTConfig(max_path_length=6, enable_jitter=True, russian_roulette=False)
+    img = _mean_radiance(scene, bvh, cam, w, h, 64, cfg)
+    mean = img.mean(axis=(0,))
+    assert np.allclose(mean, 1.0, atol=0.02), f"furnace mean={mean}"
+    assert np.abs(img - 1.0).mean() < 0.04
+
+
+def test_gray_sphere_half_albedo():
+    """Convex Lambert sphere with rho=0.5 in a unit furnace: sphere pixels
+    must read 0.5 (single scattering only)."""
+    scene, bvh = compile_scene(furnace_scene(albedo=0.5))
+    cam = make_camera([0, 0, 4.0], fov_y=np.deg2rad(5), aspect=1.0, target=[0, 0, 0])
+    cfg = PTConfig(max_path_length=4, enable_jitter=True, russian_roulette=False)
+    img = _mean_radiance(scene, bvh, cam, 4, 4, 96, cfg)  # narrow FoV: all sphere
+    assert np.allclose(img.mean(axis=0), 0.5, atol=0.02), img.mean(axis=0)
+
+
+def test_direct_lighting_analytic():
+    """Quad light far above a Lambert plane ~ point source: compare the
+    rendered radiance at the plane point below the light with the analytic
+    value  L_o = rho/pi * E_irr,  E_irr = Le * A * cos^2 / d^2."""
+    e = 30.0
+    albedo = 0.6
+    d = 2.0
+    dim = 0.3
+    scene, bvh = compile_scene(
+        quad_light_scene(emittance=(e, e, e), albedo=albedo, light_y=d, light_dim=dim)
+    )
+    w = h = 8
+    # look straight down at the origin from slightly to the side
+    cam = make_camera([0.4, 1.0, 0.4], fov_y=np.deg2rad(10), aspect=1.0,
+                      target=[0.0, 0.0, 0.0])
+    cfg = PTConfig(max_path_length=2, enable_jitter=True, russian_roulette=False)
+    img = _mean_radiance(scene, bvh, cam, w, h, 256, cfg)
+    # analytic: Le = emittance/pi; flux toward point ~ Le * A * cos_l * cos_s / d^2
+    le = e / np.pi
+    area = dim * dim
+    # at the point under the light: both cosines ~1 (offset camera point ~0.0)
+    irr = le * area / d**2
+    expect = albedo / np.pi * irr
+    got = img.mean()
+    assert abs(got - expect) / expect < 0.08, f"direct {got} vs {expect}"
+
+
+def test_mis_estimators_agree():
+    """NEE-only, BSDF-only, and MIS must estimate the same radiance."""
+    scene, bvh = compile_scene(
+        quad_light_scene(emittance=(20.0, 20.0, 20.0), light_y=1.2, light_dim=0.8)
+    )
+    w = h = 8
+    cam = make_camera([0.6, 0.8, 0.6], fov_y=np.deg2rad(25), aspect=1.0,
+                      target=[0.0, 0.0, 0.0])
+    spp = 512
+    base = dict(max_path_length=2, enable_jitter=True, russian_roulette=False)
+    img_mis = _mean_radiance(scene, bvh, cam, w, h, spp, PTConfig(**base))
+    img_nee = _mean_radiance(
+        scene, bvh, cam, w, h, spp, PTConfig(**base, use_implicit_light_sampling=False)
+    )
+    img_imp = _mean_radiance(
+        scene, bvh, cam, w, h, spp, PTConfig(**base, use_explicit_light_sampling=False)
+    )
+    m_mis, m_nee, m_imp = img_mis.mean(), img_nee.mean(), img_imp.mean()
+    assert abs(m_nee - m_mis) / m_mis < 0.05, (m_nee, m_mis)
+    assert abs(m_imp - m_mis) / m_mis < 0.12, (m_imp, m_mis)
+
+
+def test_deterministic():
+    scene, bvh = compile_scene(quad_light_scene())
+    cam = make_camera([0.5, 1.0, 0.5], fov_y=np.deg2rad(30), aspect=1.0,
+                      target=[0, 0, 0])
+    cfg = PTConfig(max_path_length=3)
+    a = render_sample(scene, bvh, cam, 8, 8, jnp.uint32(7), cfg)
+    b = render_sample(scene, bvh, cam, 8, 8, jnp.uint32(7), cfg)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    c = render_sample(scene, bvh, cam, 8, 8, jnp.uint32(8), cfg)
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
