@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Headline benchmark: path-tracing ray throughput on one TPU chip.
+
+Config mirrors BASELINE.json "path_tracing": teapot + stanford bunny (the
+reference's bundled assets, loaded read-only from /root/reference/data when
+present; a procedural fallback otherwise), 512x512, NEE+MIS unidirectional
+path tracing, max path length 5.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is measured Mrays/s divided by the 100 Mrays/s/chip north-star
+target (BASELINE.md) — the reference publishes no numbers of its own.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_CACHE = os.path.join(_REPO, ".cache")
+_REF_DATA = "/root/reference/data"
+
+WIDTH = HEIGHT = 512
+MAX_PATH_LENGTH = 5
+WARMUP_SAMPLES = 2
+TIMED_SAMPLES = 8
+TARGET_MRAYS = 100.0
+
+
+def build_bench_scene():
+    """Teapot + bunny + area light + floor (reference README's path_tracing
+    recipe shape). Cached — the host-side BVH build dominates cold time."""
+    from gfxexp_tpu.scene.builder import SceneBuilder, affine
+    from gfxexp_tpu.scene.compile import compile_scene
+    from gfxexp_tpu.scene.loaders import load_obj
+
+    cache_file = os.path.join(_CACHE, "bench_scene_v2.pkl")
+    if os.path.exists(cache_file):
+        with open(cache_file, "rb") as f:
+            return pickle.load(f)  # numpy pytrees; main() moves them on-device
+
+    b = SceneBuilder()
+    floor = b.add_lambert_material((0.8, 0.8, 0.8))
+    light = b.add_lambert_material((0.0, 0.0, 0.0), emittance=(300.0, 300.0, 300.0))
+    floor_geom = b.add_rectangle(2.0, 2.0, floor)
+    b.add_instance(floor_geom)
+    light_geom = b.add_rectangle(0.6, 0.6, light)
+    flip = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float64)
+    b.add_instance(light_geom, affine(rotation=flip, translation=[0.0, 1.5, 0.0]))
+
+    teapot = os.path.join(_REF_DATA, "teapot.obj")
+    bunny = os.path.join(_REF_DATA, "stanford_bunny_309_faces.obj")
+    if os.path.exists(teapot):
+        geoms = load_obj(teapot, b, material_convention="trad")
+        b.add_instance(geoms, affine(scale=0.004, translation=[-0.3, 0.0, 0.0]))
+    else:
+        mat = b.add_diffuse_specular_material((0.7, 0.4, 0.2), (0.2,) * 3, 0.7)
+        b.add_instance(b.add_sphere(0.25, mat), affine(translation=[-0.3, 0.25, 0.0]))
+    if os.path.exists(bunny):
+        geoms = load_obj(bunny, b, material_convention="trad")
+        b.add_instance(geoms, affine(scale=0.3, translation=[0.35, 0.0, 0.0]))
+    else:
+        mat = b.add_lambert_material((0.3, 0.6, 0.3))
+        b.add_instance(b.add_sphere(0.2, mat), affine(translation=[0.35, 0.2, 0.0]))
+
+    pair = compile_scene(b, arity=4, max_leaf=4)
+    os.makedirs(_CACHE, exist_ok=True)
+    with open(cache_file, "wb") as f:
+        import jax
+
+        pickle.dump(jax.tree_util.tree_map(np.asarray, pair), f)
+    return pair
+
+
+def main():
+    from gfxexp_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from gfxexp_tpu.render.camera import make_camera
+    from gfxexp_tpu.render.pathtrace import PTConfig, render_sample
+
+    t0 = time.time()
+    scene, bvh = build_bench_scene()
+    scene = jax.tree_util.tree_map(jnp.asarray, scene)
+    bvh = jax.tree_util.tree_map(jnp.asarray, bvh)
+    build_s = time.time() - t0
+
+    camera = make_camera(
+        [0.0, 0.8, 1.6], fov_y=np.deg2rad(45), aspect=WIDTH / HEIGHT,
+        target=[0.0, 0.2, 0.0],
+    )
+    cfg = PTConfig(max_path_length=MAX_PATH_LENGTH, count_rays=True)
+
+    t0 = time.time()
+    img, nrays = render_sample(scene, bvh, camera, WIDTH, HEIGHT, jnp.uint32(0), cfg)
+    img.block_until_ready()
+    compile_s = time.time() - t0
+    for s in range(1, WARMUP_SAMPLES):
+        img, nrays = render_sample(scene, bvh, camera, WIDTH, HEIGHT, jnp.uint32(s), cfg)
+    img.block_until_ready()
+
+    # accumulate through a device-side dependency chain: this runtime executes
+    # independent programs concurrently, so blocking on the last output alone
+    # does NOT fence earlier samples — the chain makes timing honest while
+    # still allowing dispatch pipelining
+    acc = jnp.zeros((WIDTH * HEIGHT, 3), jnp.float32)
+    total_rays_dev = jnp.zeros((), jnp.float32)
+    t0 = time.time()
+    for s in range(TIMED_SAMPLES):
+        img, nrays = render_sample(
+            scene, bvh, camera, WIDTH, HEIGHT, jnp.uint32(100 + s), cfg
+        )
+        acc = acc + img
+        total_rays_dev = total_rays_dev + nrays
+    acc.block_until_ready()
+    total_rays_dev.block_until_ready()
+    elapsed = time.time() - t0
+    total_rays = float(total_rays_dev)
+    img = acc / TIMED_SAMPLES
+
+    mrays = total_rays / elapsed / 1e6
+    sys.stderr.write(
+        f"bench: {scene.num_triangles} tris, build {build_s:.1f}s, "
+        f"compile {compile_s:.1f}s, {TIMED_SAMPLES} samples in {elapsed:.2f}s, "
+        f"{total_rays/1e6:.1f} Mrays, mean radiance {float(img.mean()):.4f}\n"
+    )
+    print(json.dumps({
+        "metric": "pt_ray_throughput",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / TARGET_MRAYS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -216,11 +216,14 @@ def build_bvh_arrays(
 
 
 def build_bvh(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray, arity: int = 4,
-              max_leaf: int = 4):
+              max_leaf: int = 4, use_native: bool = True):
     """Build from triangle soup (p0, e1=p1-p0, e2=p2-p0 as in TriangleSoA).
 
     Returns (BVH, perm) — callers must permute their per-triangle arrays by
     `perm` so that leaves reference contiguous triangle ranges.
+
+    Uses the native C++ builder (accel/native.py) when available; the numpy
+    path is the always-available fallback and the test oracle.
     """
     p0 = np.asarray(p0)
     p1 = p0 + np.asarray(e1)
@@ -229,9 +232,18 @@ def build_bvh(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray, arity: int = 4,
     tri_max = np.maximum(np.maximum(p0, p1), p2)
     # epsilon-pad degenerate (axis-aligned flat) boxes
     pad = 1e-7 * np.maximum(1.0, np.abs(tri_max))
-    cmin, cmax, cidx, ccount, perm, max_depth = build_bvh_arrays(
-        tri_min - pad, tri_max + pad, arity=arity, max_leaf=max_leaf
-    )
+    result = None
+    if use_native:
+        from gfxexp_tpu.accel.native import build_bvh_arrays_native
+
+        result = build_bvh_arrays_native(
+            tri_min - pad, tri_max + pad, arity=arity, max_leaf=max_leaf
+        )
+    if result is None:
+        result = build_bvh_arrays(
+            tri_min - pad, tri_max + pad, arity=arity, max_leaf=max_leaf
+        )
+    cmin, cmax, cidx, ccount, perm, max_depth = result
     bvh = BVH(
         child_min=jnp.asarray(cmin, jnp.float32),
         child_max=jnp.asarray(cmax, jnp.float32),

@@ -152,16 +152,38 @@ def _traverse(bvh: BVH, tris: TriangleSoA, o, d, t_min, t_max, any_hit: bool,
     )
 
 
-def intersect_closest(bvh: BVH, tris: TriangleSoA, o, d, t_min=1e-4, t_max=1e30,
+def intersect_closest(bvh, tris: TriangleSoA, o, d, t_min=1e-4, t_max=1e30,
                       max_leaf: int = 4) -> HitInfo:
-    """Closest-hit query for a ray batch. o, d: [R, 3]."""
+    """Closest-hit query for a ray batch. o, d: [R, 3]. Dispatches on the
+    acceleration-structure type (stack-based wide BVH, or the TPU-friendly
+    stackless SkipBVH)."""
+    from gfxexp_tpu.accel.skiplink import SkipBVH
+
+    if isinstance(bvh, SkipBVH):
+        if jax.default_backend() == "tpu":
+            from gfxexp_tpu.accel.pallas_traverse import intersect_closest_pallas
+
+            return intersect_closest_pallas(bvh, tris, o, d, t_min, t_max)
+        from gfxexp_tpu.accel.tiled import intersect_closest_tiled
+
+        return intersect_closest_tiled(bvh, tris, o, d, t_min, t_max)
     return _traverse(bvh, tris, o, d, t_min, t_max, any_hit=False, max_leaf=max_leaf)
 
 
-def intersect_any(bvh: BVH, tris: TriangleSoA, o, d, t_min=1e-4, t_max=1e30,
+def intersect_any(bvh, tris: TriangleSoA, o, d, t_min=1e-4, t_max=1e30,
                   max_leaf: int = 4) -> jnp.ndarray:
     """Shadow-ray query: returns occluded [R] bool (reference: visibility AH
     program, optix_pathtracing_kernels.cu:5)."""
+    from gfxexp_tpu.accel.skiplink import SkipBVH
+
+    if isinstance(bvh, SkipBVH):
+        if jax.default_backend() == "tpu":
+            from gfxexp_tpu.accel.pallas_traverse import intersect_any_pallas
+
+            return intersect_any_pallas(bvh, tris, o, d, t_min, t_max)
+        from gfxexp_tpu.accel.tiled import intersect_any_tiled
+
+        return intersect_any_tiled(bvh, tris, o, d, t_min, t_max)
     hit = _traverse(bvh, tris, o, d, t_min, t_max, any_hit=True, max_leaf=max_leaf)
     return hit.hit
 

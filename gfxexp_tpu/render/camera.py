@@ -40,12 +40,59 @@ def make_camera(position, fov_y, aspect, orientation=None, target=None,
     )
 
 
+BLOCK_W = 16
+BLOCK_H = 16
+
+
+def blocked_order(width: int, height: int) -> bool:
+    return width % BLOCK_W == 0 and height % BLOCK_H == 0
+
+
+def pixel_from_lane(lane, width: int, height: int):
+    """Lane (render order) -> linear pixel index. Lanes are block-major
+    (16x16 screen blocks) so consecutive lanes form coherent ray tiles for
+    the tile-shared traverser (accel/tiled.py); falls back to row-major when
+    the image isn't block-divisible."""
+    if not blocked_order(width, height):
+        return lane
+    lane = lane.astype(jnp.int32)
+    per_block = BLOCK_W * BLOCK_H
+    blocks_x = width // BLOCK_W
+    block = lane // per_block
+    within = lane % per_block
+    bx = block % blocks_x
+    by = block // blocks_x
+    px = bx * BLOCK_W + within % BLOCK_W
+    py = by * BLOCK_H + within // BLOCK_W
+    return (py * width + px).astype(jnp.uint32)
+
+
+def lane_from_pixel(pixel, width: int, height: int):
+    """Inverse of pixel_from_lane."""
+    if not blocked_order(width, height):
+        return pixel
+    pixel = pixel.astype(jnp.int32)
+    px = pixel % width
+    py = pixel // width
+    blocks_x = width // BLOCK_W
+    block = (py // BLOCK_H) * blocks_x + px // BLOCK_W
+    within = (py % BLOCK_H) * BLOCK_W + px % BLOCK_W
+    return (block * (BLOCK_W * BLOCK_H) + within).astype(jnp.uint32)
+
+
 def generate_rays(camera: Camera, width: int, height: int, jx, jy):
     """Primary rays for every pixel. jx, jy: [H*W] jitter in [0,1) (use 0.5
     for pixel centers). Returns (origins [N,3], directions [N,3])."""
-    n = width * height
-    px = jnp.arange(n, dtype=jnp.float32) % width
-    py = jnp.floor(jnp.arange(n, dtype=jnp.float32) / width)
+    lane = jnp.arange(width * height, dtype=jnp.uint32)
+    return generate_rays_for_lanes(camera, width, height, lane, jx, jy)
+
+
+def generate_rays_for_lanes(camera: Camera, width: int, height: int, lane, jx, jy):
+    """Primary rays for an arbitrary set of linear pixel indices `lane`."""
+    n = lane.shape[0]
+    lane_i = lane.astype(jnp.int32)
+    px = (lane_i % width).astype(jnp.float32)
+    py = (lane_i // width).astype(jnp.float32)
     x = (px + jx) / width
     y = (py + jy) / height
     vh = 2.0 * jnp.tan(camera.fov_y * 0.5)

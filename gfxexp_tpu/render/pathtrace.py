@@ -40,7 +40,12 @@ from gfxexp_tpu.render.bsdf import (
     bsdf_sample,
     material_params,
 )
-from gfxexp_tpu.render.camera import Camera, generate_rays
+from gfxexp_tpu.render.camera import (
+    Camera,
+    generate_rays_for_lanes,
+    lane_from_pixel,
+    pixel_from_lane,
+)
 from gfxexp_tpu.scene.lights import (
     env_pdf,
     env_radiance,
@@ -64,6 +69,7 @@ class PTConfig:
     use_implicit_light_sampling: bool = True
     use_explicit_light_sampling: bool = True
     russian_roulette: bool = True
+    count_rays: bool = False  # also return the number of rays actually traced
 
     @property
     def use_mis(self):
@@ -168,33 +174,37 @@ def _next_event(scene, bvh, sp: SurfacePoint, v_out_local, frame, params, rs,
     return jnp.where(visible[..., None], contrib, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "cfg"))
-def render_sample(
+def render_lanes(
     scene: SceneData,
     bvh: BVH,
     camera: Camera,
     width: int,
     height: int,
+    lane_start,
+    lane_count: int,
     sample_idx,
     cfg: PTConfig = PTConfig(),
 ):
-    """Render one sample per pixel; returns radiance [H*W, 3]. Deterministic
-    in (pixel, sample_idx) via counter-based RNG.
-
-    Jitted with scene/bvh/camera as *traced* arguments — do NOT close over
-    scene arrays in an outer jit (XLA would embed them as constants and
-    recompile per scene)."""
-    n = width * height
-    lane = jnp.arange(n, dtype=jnp.uint32)
+    """Render one sample for `lane_count` consecutive pixels starting at
+    linear pixel index `lane_start` (traced — enables tiling and per-device
+    sharding). Returns radiance [lane_count, 3] (plus traced-ray count when
+    cfg.count_rays)."""
+    n = lane_count
+    lane = jnp.asarray(lane_start, jnp.uint32) + jnp.arange(n, dtype=jnp.uint32)
+    # lanes are block-major over the screen (16x16 blocks) so consecutive
+    # lanes form spatially-coherent tiles for the tile-shared traverser;
+    # RNG and camera rays are keyed by the PIXEL for determinism
+    pixel = pixel_from_lane(lane, width, height)
     sample_idx = jnp.asarray(sample_idx, jnp.uint32)
+    rays_traced = jnp.zeros((), jnp.float32)
 
-    rs_cam = SampleStream(lane, sample_idx, stream=0xFFFF)
+    rs_cam = SampleStream(pixel, sample_idx, stream=0xFFFF)
     if cfg.enable_jitter:
         jx, jy = rs_cam.next2()
     else:
         jx = jnp.full((n,), 0.5, jnp.float32)
         jy = jnp.full((n,), 0.5, jnp.float32)
-    ray_o, ray_d = generate_rays(camera, width, height, jx, jy)
+    ray_o, ray_d = generate_rays_for_lanes(camera, width, height, pixel, jx, jy)
 
     contribution = jnp.zeros((n, 3), jnp.float32)
     throughput = jnp.ones((n, 3), jnp.float32)
@@ -205,7 +215,9 @@ def render_sample(
     p_env_sel, _ = light_selection_probs(scene)
 
     for bounce in range(1, cfg.max_path_length + 1):
-        rs = SampleStream(lane, sample_idx, stream=bounce)
+        rs = SampleStream(pixel, sample_idx, stream=bounce)
+        if cfg.count_rays:
+            rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
         hit = intersect_closest(bvh, scene.triangles, ray_o, ray_d,
                                 t_min=0.0, t_max=1e30)
         hit_ok = alive & hit.hit
@@ -273,6 +285,8 @@ def render_sample(
         params = material_params(scene.materials, sp.material)
         sp_off = sp.replace(position=pos_off)
         if cfg.use_explicit_light_sampling:
+            if cfg.count_rays:
+                rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
             nee = _next_event(scene, bvh, sp_off, v_out_local, (t, b, nrm),
                               params, rs, cfg)
             contribution = contribution + jnp.where(
@@ -291,7 +305,57 @@ def render_sample(
         ray_d = normalize(v_in)
         prev_pdf = pdf
 
+    if cfg.count_rays:
+        return contribution, rays_traced
     return contribution
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "cfg"))
+def render_sample(
+    scene: SceneData,
+    bvh: BVH,
+    camera: Camera,
+    width: int,
+    height: int,
+    sample_idx,
+    cfg: PTConfig = PTConfig(),
+):
+    """Render one sample for every pixel; returns radiance [H*W, 3] in
+    row-major PIXEL order (render_lanes' internal block-major lane order is
+    inverted here).
+
+    Jitted with scene/bvh/camera as *traced* arguments — do NOT close over
+    scene arrays in an outer jit (XLA would embed them as constants and
+    recompile per scene)."""
+    out = render_lanes(scene, bvh, camera, width, height, 0, width * height,
+                       sample_idx, cfg)
+    order = lane_from_pixel(jnp.arange(width * height, dtype=jnp.uint32),
+                            width, height)
+    if cfg.count_rays:
+        contribution, nrays = out
+        return contribution[order], nrays
+    return out[order]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "lane_count", "cfg")
+)
+def render_tile(
+    scene: SceneData,
+    bvh: BVH,
+    camera: Camera,
+    width: int,
+    height: int,
+    lane_start,
+    lane_count: int,
+    sample_idx,
+    cfg: PTConfig = PTConfig(),
+):
+    """Jitted tile renderer: one compile serves every tile position (lane
+    start is traced). Used by bench + big-resolution drivers to bound the
+    live-state memory (per-lane traversal stacks)."""
+    return render_lanes(scene, bvh, camera, width, height, lane_start,
+                        lane_count, sample_idx, cfg)
 
 
 def accumulate(accum, new_sample, num_accum_frames):

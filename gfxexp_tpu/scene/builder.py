@@ -301,7 +301,7 @@ class SceneBuilder:
                 unit_cursor += 1
 
         def cat(key):
-            return jnp.asarray(np.concatenate(tri_chunks[key]).astype(
+            return np.asarray(np.concatenate(tri_chunks[key]).astype(
                 np.int32 if key == "unit" else np.float32))
 
         triangles = TriangleSoA(
@@ -318,14 +318,14 @@ class SceneBuilder:
 
         n_total_tris = tri_cursor
         units = UnitTable(
-            material=jnp.asarray(unit_material, jnp.int32),
-            instance=jnp.asarray(unit_instance, jnp.int32),
-            tri_offset=jnp.asarray(unit_tri_offset, jnp.int32),
-            tri_count=jnp.asarray(unit_tri_count, jnp.int32),
-            light_tri_cdf=jnp.asarray(np.concatenate(tri_cdf_chunks), jnp.float32),
-            light_tri_index=jnp.arange(n_total_tris, dtype=jnp.int32),
-            light_tri_pmf=jnp.asarray(np.concatenate(tri_pmf_chunks), jnp.float32),
-            emissive_importance=jnp.asarray(unit_importance, jnp.float32),
+            material=np.asarray(unit_material, np.int32),
+            instance=np.asarray(unit_instance, np.int32),
+            tri_offset=np.asarray(unit_tri_offset, np.int32),
+            tri_count=np.asarray(unit_tri_count, np.int32),
+            light_tri_cdf=np.asarray(np.concatenate(tri_cdf_chunks), np.float32),
+            light_tri_index=np.arange(n_total_tris, dtype=np.int32),
+            light_tri_pmf=np.asarray(np.concatenate(tri_pmf_chunks), np.float32),
+            emissive_importance=np.asarray(unit_importance, np.float32),
         )
 
         transforms = np.stack(inst_transform).astype(np.float32)
@@ -335,22 +335,22 @@ class SceneBuilder:
             inv[i, :, :3] = r_inv
             inv[i, :, 3] = -r_inv @ t[:, 3].astype(np.float64)
         instances = InstanceTable(
-            transform=jnp.asarray(transforms),
-            inv_transform=jnp.asarray(inv),
-            prev_transform=jnp.asarray(transforms),
-            uniform_scale=jnp.asarray(inst_scale, jnp.float32),
+            transform=np.asarray(transforms),
+            inv_transform=np.asarray(inv),
+            prev_transform=np.asarray(transforms),
+            uniform_scale=np.asarray(inst_scale, np.float32),
         )
 
         materials = MaterialTable(
-            bsdf_type=jnp.asarray([m.bsdf_type for m in mats], jnp.int32),
-            diffuse_color=jnp.asarray([m.diffuse_color for m in mats], jnp.float32),
-            specular_f0=jnp.asarray([m.specular_f0 for m in mats], jnp.float32),
-            roughness=jnp.asarray([m.roughness for m in mats], jnp.float32),
-            metallic=jnp.asarray([m.metallic for m in mats], jnp.float32),
-            emittance=jnp.asarray([m.emittance for m in mats], jnp.float32),
-            diffuse_tex=jnp.asarray([m.diffuse_tex for m in mats], jnp.int32),
-            emittance_tex=jnp.asarray([m.emittance_tex for m in mats], jnp.int32),
-            normal_tex=jnp.asarray([m.normal_tex for m in mats], jnp.int32),
+            bsdf_type=np.asarray([m.bsdf_type for m in mats], np.int32),
+            diffuse_color=np.asarray([m.diffuse_color for m in mats], np.float32),
+            specular_f0=np.asarray([m.specular_f0 for m in mats], np.float32),
+            roughness=np.asarray([m.roughness for m in mats], np.float32),
+            metallic=np.asarray([m.metallic for m in mats], np.float32),
+            emittance=np.asarray([m.emittance for m in mats], np.float32),
+            diffuse_tex=np.asarray([m.diffuse_tex for m in mats], np.int32),
+            emittance_tex=np.asarray([m.emittance_tex for m in mats], np.int32),
+            normal_tex=np.asarray([m.normal_tex for m in mats], np.int32),
         )
 
         env = None
@@ -361,11 +361,11 @@ class SceneBuilder:
             lum = self.env_radiance @ _LUMA
             sin_t = np.sin(np.pi * (np.arange(h) + 0.5) / h)
             env = EnvLight(
-                radiance=jnp.asarray(self.env_radiance),
+                radiance=np.asarray(self.env_radiance),
                 importance=build_continuous_2d(lum * sin_t[:, None]),
-                power_coeff=jnp.float32(self.env_power),
-                rotation=jnp.float32(self.env_rotation),
-                enabled=jnp.asarray(True),
+                power_coeff=np.float32(self.env_power),
+                rotation=np.float32(self.env_rotation),
+                enabled=np.asarray(True),
             )
 
         return SceneData(
@@ -373,9 +373,9 @@ class SceneBuilder:
             triangles=triangles,
             units=units,
             instances=instances,
-            light_unit_cdf=jnp.asarray(unit_cdf, jnp.float32),
-            light_unit_pmf=jnp.asarray(unit_pmf, jnp.float32),
-            total_emissive_importance=jnp.float32(total_imp),
+            light_unit_cdf=np.asarray(unit_cdf, np.float32),
+            light_unit_pmf=np.asarray(unit_pmf, np.float32),
+            total_emissive_importance=np.float32(total_imp),
             env=env,
         )
 

@@ -21,29 +21,36 @@ from gfxexp_tpu.scene.types import SceneData
 
 def apply_triangle_permutation(scene: SceneData, perm: np.ndarray) -> SceneData:
     """Reorder TriangleSoA by `perm` (new[i] = old[perm[i]]) and update the
-    light-order indirection accordingly."""
-    p = jnp.asarray(perm, jnp.int32)
-    inv = np.empty_like(perm)
-    inv[perm] = np.arange(perm.shape[0])
-    inv = jnp.asarray(inv, jnp.int32)
+    light-order indirection accordingly.
+
+    Pure numpy on purpose: scene compilation must not dispatch device ops
+    (in the TPU process every tiny op pays a remote-compile round trip)."""
+    p = np.asarray(perm)
+    inv = np.empty_like(p, dtype=np.int32)
+    inv[p] = np.arange(p.shape[0], dtype=np.int32)
     tris = scene.triangles
+    ga = lambda x: np.asarray(x)
     return scene.replace(
         triangles=tris.replace(
-            p0=tris.p0[p], e1=tris.e1[p], e2=tris.e2[p],
-            n0=tris.n0[p], n1=tris.n1[p], n2=tris.n2[p],
-            uv0=tris.uv0[p], uv1=tris.uv1[p], uv2=tris.uv2[p],
-            unit_id=tris.unit_id[p],
+            p0=ga(tris.p0)[p], e1=ga(tris.e1)[p], e2=ga(tris.e2)[p],
+            n0=ga(tris.n0)[p], n1=ga(tris.n1)[p], n2=ga(tris.n2)[p],
+            uv0=ga(tris.uv0)[p], uv1=ga(tris.uv1)[p], uv2=ga(tris.uv2)[p],
+            unit_id=ga(tris.unit_id)[p],
         ),
         units=scene.units.replace(
-            light_tri_index=inv[scene.units.light_tri_index],
-            light_tri_pmf=scene.units.light_tri_pmf[p],
+            light_tri_index=inv[ga(scene.units.light_tri_index)],
+            light_tri_pmf=ga(scene.units.light_tri_pmf)[p],
         ),
     )
 
 
 def compile_scene(
-    builder: SceneBuilder, arity: int = 4, max_leaf: int = 4
-) -> Tuple[SceneData, BVH]:
+    builder: SceneBuilder, arity: int = 4, max_leaf: int = 4,
+    traversal: str = "skip",
+):
+    """traversal="skip" (default) produces the stackless SkipBVH — the layout
+    the TPU render path traverses (accel/skiplink.py rationale);
+    traversal="wide" produces the stack-based wide BVH."""
     scene = builder.compile()
     bvh, perm = build_bvh(
         np.asarray(scene.triangles.p0),
@@ -52,4 +59,14 @@ def compile_scene(
         arity=arity,
         max_leaf=max_leaf,
     )
-    return apply_triangle_permutation(scene, perm), bvh
+    scene = apply_triangle_permutation(scene, perm)
+    if traversal == "skip":
+        from gfxexp_tpu.accel.skiplink import build_skip_links
+
+        skip = build_skip_links(
+            np.asarray(bvh.child_min), np.asarray(bvh.child_max),
+            np.asarray(bvh.child_idx), np.asarray(bvh.child_count),
+            max_leaf=max_leaf,
+        )
+        return scene, skip
+    return scene, bvh

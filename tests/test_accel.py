@@ -99,3 +99,79 @@ def test_tmax_respected(rng_np):
     assert bool(intersect_closest(bvh, soa, o, d).hit[0])
     assert not bool(intersect_closest(bvh, soa, o, d, t_max=4.0).hit[0])
     assert not bool(intersect_any(bvh, soa, o, d, t_max=4.0)[0])
+
+
+def test_native_builder_matches_numpy(rng_np):
+    """Native C++ builder must produce traversal-equivalent BVHs to the
+    numpy oracle (same closest hits for a random ray batch)."""
+    from gfxexp_tpu.accel.native import native_available
+
+    if not native_available():
+        pytest.skip("native builder not built")
+    p0, p1, p2 = _random_tri_soup(rng_np, 400)
+    bvh_n, perm_n = build_bvh(p0, p1 - p0, p2 - p0, arity=4, use_native=True)
+    bvh_p, perm_p = build_bvh(p0, p1 - p0, p2 - p0, arity=4, use_native=False)
+    soa_n = _make_soa(p0[perm_n], p1[perm_n], p2[perm_n])
+    soa_p = _make_soa(p0[perm_p], p1[perm_p], p2[perm_p])
+    n_rays = 128
+    o = rng_np.uniform(-8, 8, size=(n_rays, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    hn = intersect_closest(bvh_n, soa_n, jnp.asarray(o), jnp.asarray(d))
+    hp = intersect_closest(bvh_p, soa_p, jnp.asarray(o), jnp.asarray(d))
+    assert np.array_equal(np.asarray(hn.hit), np.asarray(hp.hit))
+    m = np.asarray(hn.hit)
+    assert np.allclose(np.asarray(hn.t)[m], np.asarray(hp.t)[m], rtol=1e-4)
+    # same original triangle (via inverse perms)
+    tri_n = np.asarray(perm_n)[np.asarray(hn.tri)[m]]
+    tri_p = np.asarray(perm_p)[np.asarray(hp.tri)[m]]
+    assert np.array_equal(tri_n, tri_p)
+
+
+def test_skiplink_matches_bruteforce(rng_np):
+    """Stackless skip-link traversal (the TPU render path) must agree with
+    the brute-force oracle."""
+    from gfxexp_tpu.accel.skiplink import build_skip_links, intersect_closest_skip
+
+    p0, p1, p2 = _random_tri_soup(rng_np, 300)
+    bvh, perm = build_bvh(p0, p1 - p0, p2 - p0, arity=4)
+    soa = _make_soa(p0[perm], p1[perm], p2[perm])
+    skip = build_skip_links(
+        np.asarray(bvh.child_min), np.asarray(bvh.child_max),
+        np.asarray(bvh.child_idx), np.asarray(bvh.child_count))
+    n_rays = 256
+    o = rng_np.uniform(-8, 8, size=(n_rays, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    hs = intersect_closest_skip(skip, soa, jnp.asarray(o), jnp.asarray(d))
+    hr = intersect_closest_brute(soa, jnp.asarray(o), jnp.asarray(d))
+    assert np.array_equal(np.asarray(hs.hit), np.asarray(hr.hit))
+    m = np.asarray(hr.hit)
+    assert np.allclose(np.asarray(hs.t)[m], np.asarray(hr.t)[m], rtol=1e-4)
+    assert np.array_equal(np.asarray(hs.tri)[m], np.asarray(hr.tri)[m])
+
+
+def test_tiled_matches_bruteforce(rng_np):
+    """Tile-shared traversal (the TPU execution scheme) must agree with the
+    brute-force oracle, including non-multiple-of-tile ray counts."""
+    from gfxexp_tpu.accel.skiplink import build_skip_links
+    from gfxexp_tpu.accel.tiled import intersect_any_tiled, intersect_closest_tiled
+
+    p0, p1, p2 = _random_tri_soup(rng_np, 300)
+    bvh, perm = build_bvh(p0, p1 - p0, p2 - p0, arity=4)
+    soa = _make_soa(p0[perm], p1[perm], p2[perm])
+    skip = build_skip_links(
+        np.asarray(bvh.child_min), np.asarray(bvh.child_max),
+        np.asarray(bvh.child_idx), np.asarray(bvh.child_count))
+    n_rays = 301  # deliberately not a tile multiple
+    o = rng_np.uniform(-8, 8, size=(n_rays, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ht = intersect_closest_tiled(skip, soa, jnp.asarray(o), jnp.asarray(d), tile=64)
+    hr = intersect_closest_brute(soa, jnp.asarray(o), jnp.asarray(d))
+    assert np.array_equal(np.asarray(ht.hit), np.asarray(hr.hit))
+    m = np.asarray(hr.hit)
+    assert np.allclose(np.asarray(ht.t)[m], np.asarray(hr.t)[m], rtol=1e-4)
+    assert np.array_equal(np.asarray(ht.tri)[m], np.asarray(hr.tri)[m])
+    occ = intersect_any_tiled(skip, soa, jnp.asarray(o), jnp.asarray(d), tile=64)
+    assert np.array_equal(np.asarray(occ), np.asarray(hr.hit))
