@@ -184,11 +184,16 @@ def render_lanes(
     lane_count: int,
     sample_idx,
     cfg: PTConfig = PTConfig(),
+    nee_fn=None,
 ):
     """Render one sample for `lane_count` consecutive pixels starting at
     linear pixel index `lane_start` (traced — enables tiling and per-device
     sharding). Returns radiance [lane_count, 3] (plus traced-ray count when
-    cfg.count_rays)."""
+    cfg.count_rays).
+
+    `nee_fn(scene, bvh, sp, v_out_local, frame, params, rs, cfg, alive)`
+    overrides next-event estimation (used by ReGIR's cell resampling); it must
+    be trace-static (close over its state)."""
     n = lane_count
     lane = jnp.asarray(lane_start, jnp.uint32) + jnp.arange(n, dtype=jnp.uint32)
     # lanes are block-major over the screen (16x16 blocks) so consecutive
@@ -287,8 +292,12 @@ def render_lanes(
         if cfg.use_explicit_light_sampling:
             if cfg.count_rays:
                 rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
-            nee = _next_event(scene, bvh, sp_off, v_out_local, (t, b, nrm),
-                              params, rs, cfg)
+            if nee_fn is not None:
+                nee = nee_fn(scene, bvh, sp_off, v_out_local, (t, b, nrm),
+                             params, rs, cfg, alive)
+            else:
+                nee = _next_event(scene, bvh, sp_off, v_out_local, (t, b, nrm),
+                                  params, rs, cfg)
             contribution = contribution + jnp.where(
                 alive[..., None], throughput * nee, 0.0
             )

@@ -59,3 +59,24 @@ def box_scene(albedo=0.7):
     lamp = b.add_rectangle(0.8, 0.8, light_mat)
     b.add_instance(lamp, affine(rotation=flipx, translation=[0, s - 0.01, 0]))
     return b
+
+
+def many_light_scene(n_lights=64, seed=3, albedo=0.6):
+    """Grid of small emitters with random intensities over a ground plane —
+    the regime ReSTIR is built for."""
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    floor_mat = b.add_lambert_material((albedo, albedo, albedo))
+    floor = b.add_rectangle(20.0, 20.0, floor_mat)
+    b.add_instance(floor)
+    side = int(np.sqrt(n_lights))
+    flip = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float64)
+    for i in range(side):
+        for j in range(side):
+            e = float(rng.uniform(1.0, 60.0))
+            m = b.add_lambert_material((0, 0, 0), emittance=(e, e, e))
+            g = b.add_rectangle(0.15, 0.15, m)
+            x = (i - side / 2 + 0.5) * 1.2
+            z = (j - side / 2 + 0.5) * 1.2
+            b.add_instance(g, affine(rotation=flip, translation=[x, 2.0, z]))
+    return b

@@ -1,0 +1,131 @@
+"""ReSTIR DI estimator tests: initial RIS must be unbiased vs the analytic
+direct-lighting value; reuse modes must stay in calibration (SURVEY.md §4 —
+replaces the reference's RIS_Test/ris_test.ipynb numeric validation)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gfxexp_tpu.render.camera import make_camera
+from gfxexp_tpu.render.gbuffer import render_gbuffer
+from gfxexp_tpu.scene.compile import compile_scene
+from gfxexp_tpu.techniques.restir_di import (
+    ReSTIRConfig,
+    empty_reservoir,
+    pixel_ctx,
+    restir_di_frame,
+)
+
+from scenes import quad_light_scene
+
+E = 30.0
+ALBEDO = 0.6
+DIST = 2.0
+DIM = 0.3
+W = H = 16
+
+
+@pytest.fixture(scope="module")
+def restir_scene():
+    scene, bvh = compile_scene(
+        quad_light_scene(emittance=(E, E, E), albedo=ALBEDO, light_y=DIST,
+                         light_dim=DIM)
+    )
+    cam = make_camera([0.4, 1.0, 0.4], fov_y=np.deg2rad(10), aspect=1.0,
+                      target=[0.0, 0.0, 0.0])
+    gb = render_gbuffer(scene, bvh, cam, cam, W, H, jnp.uint32(0),
+                        enable_jitter=False)
+    return scene, bvh, cam, gb
+
+
+def _run(restir_scene, cfg, frames):
+    scene, bvh, cam, gb = restir_scene
+    n = W * H
+    res = empty_reservoir(n)
+    ctx = pixel_ctx(scene, gb, cam)
+    prev_hit = gb.hit.reshape(n)
+    prev_pos = gb.position.reshape(n, 3)
+    prev_nrm = gb.normal.reshape(n, 3)
+    acc = np.zeros((H, W, 3), np.float64)
+    for f in range(frames):
+        color, res, ctx = restir_di_frame(
+            scene, bvh, gb, cam, res, ctx, prev_hit, prev_pos, prev_nrm,
+            jnp.uint32(f), cfg,
+        )
+        acc += np.asarray(color)
+    return acc / frames
+
+
+def _expected():
+    le = E / np.pi
+    return ALBEDO / np.pi * le * DIM * DIM / DIST**2
+
+
+def test_initial_ris_unbiased(restir_scene):
+    cfg = ReSTIRConfig(enable_temporal_reuse=False, enable_spatial_reuse=False,
+                       reuse_visibility=False)
+    img = _run(restir_scene, cfg, 150)
+    got = img.mean()
+    expect = _expected()
+    assert abs(got - expect) / expect < 0.05, (got, expect)
+
+
+def test_initial_ris_visibility_kill(restir_scene):
+    """With an unoccluded scene, visibility reuse must not change the mean."""
+    cfg = ReSTIRConfig(enable_temporal_reuse=False, enable_spatial_reuse=False,
+                       reuse_visibility=True)
+    img = _run(restir_scene, cfg, 100)
+    expect = _expected()
+    assert abs(img.mean() - expect) / expect < 0.06
+
+
+def test_spatiotemporal_unbiased(restir_scene):
+    cfg = ReSTIRConfig(use_unbiased_estimator=True, num_spatial_passes=1,
+                       num_spatial_neighbors=2)
+    img = _run(restir_scene, cfg, 80)
+    expect = _expected()
+    assert np.isfinite(img).all()
+    assert abs(img.mean() - expect) / expect < 0.08, (img.mean(), expect)
+
+
+def test_spatiotemporal_biased_reasonable(restir_scene):
+    """Biased mode trades a little energy for variance — stays within 15%."""
+    cfg = ReSTIRConfig(use_unbiased_estimator=False)
+    img = _run(restir_scene, cfg, 80)
+    expect = _expected()
+    assert np.isfinite(img).all()
+    assert abs(img.mean() - expect) / expect < 0.15, (img.mean(), expect)
+
+
+def test_variance_reduction_vs_no_reuse():
+    """Spatiotemporal reuse must reduce per-frame variance vs initial RIS
+    alone (the whole point of ReSTIR) — needs a many-light scene where 2^k
+    candidates can't saturate the light set."""
+    from scenes import many_light_scene
+
+    scene, bvh = compile_scene(many_light_scene(n_lights=64))
+    cam = make_camera([0.0, 3.0, 6.0], fov_y=np.deg2rad(50), aspect=1.0,
+                      target=[0.0, 0.0, 0.0])
+    gb = render_gbuffer(scene, bvh, cam, cam, W, H, jnp.uint32(0),
+                        enable_jitter=False)
+    n = W * H
+
+    def frame_stddev(cfg, frames=40):
+        res = empty_reservoir(n)
+        ctx = pixel_ctx(scene, gb, cam)
+        ph = gb.hit.reshape(n)
+        pp = gb.position.reshape(n, 3)
+        pn = gb.normal.reshape(n, 3)
+        vals = []
+        for f in range(frames):
+            color, res, ctx = restir_di_frame(
+                scene, bvh, gb, cam, res, ctx, ph, pp, pn, jnp.uint32(f), cfg)
+            if f >= 10:  # skip warm-up
+                vals.append(np.asarray(color))
+        stack = np.stack(vals)
+        return stack.std(axis=0).mean()
+
+    sd_none = frame_stddev(ReSTIRConfig(enable_temporal_reuse=False,
+                                        enable_spatial_reuse=False))
+    sd_full = frame_stddev(ReSTIRConfig())
+    assert sd_full < 0.7 * sd_none, (sd_full, sd_none)
