@@ -32,14 +32,22 @@ from gfxexp_tpu.scene.types import TriangleSoA
 @struct.dataclass
 class SkipBVH:
     """DFS-preorder node array with skip links. count>0 => leaf with
-    triangles [first, first+count); count==0 => internal (next = index+1)."""
+    triangles [first, first+count); count==0 => internal (next = index+1).
+
+    `depth` + static `n_levels` support device-side bottom-up refit for
+    animated scenes (accel/refit.py): all children of an internal node at
+    depth d sit at depth d+1 and are reached by the sibling chain
+    i+1, skip[i+1], skip[skip[i+1]], ... below skip[i]."""
 
     aabb_min: jnp.ndarray  # [M, 3]
     aabb_max: jnp.ndarray  # [M, 3]
     first: jnp.ndarray  # [M] int32 (leaf tri offset; 0 for internal)
     count: jnp.ndarray  # [M] int32
     skip: jnp.ndarray  # [M] int32 (M = end sentinel)
+    depth: jnp.ndarray  # [M] int32 (root children = 0)
     max_leaf: int = struct.field(pytree_node=False, default=4)
+    n_levels: int = struct.field(pytree_node=False, default=1)
+    arity: int = struct.field(pytree_node=False, default=4)
 
     @property
     def num_nodes(self):
@@ -56,31 +64,32 @@ def build_skip_links(child_min, child_max, child_idx, child_count,
     child_count = np.asarray(child_count)
     arity = child_idx.shape[1]
 
-    amin, amax, first, count, skip = [], [], [], [], []
+    amin, amax, first, count, skip, depth = [], [], [], [], [], []
 
     # iterative DFS: emit nodes in preorder; fix up skip pointers after
     # each subtree completes. Stack holds (wide_node, slot) work plus
     # emitted-node indices whose skip needs patching once we know the size.
-    def emit(lo, hi, fi, ct):
+    def emit(lo, hi, fi, ct, d):
         amin.append(lo)
         amax.append(hi)
         first.append(fi)
         count.append(ct)
         skip.append(-1)
+        depth.append(d)
         return len(skip) - 1
 
-    def walk(wnode: int):
+    def walk(wnode: int, d: int):
         for k in range(arity):
             ct = child_count[wnode, k]
             if ct < 0:
                 continue  # empty slot
             if ct > 0:
                 emit(child_min[wnode, k], child_max[wnode, k],
-                     int(child_idx[wnode, k]), int(ct))
+                     int(child_idx[wnode, k]), int(ct), d)
                 skip[-1] = len(skip)  # leaf: skip = next emitted node
             else:
-                me = emit(child_min[wnode, k], child_max[wnode, k], 0, 0)
-                walk(int(child_idx[wnode, k]))
+                me = emit(child_min[wnode, k], child_max[wnode, k], 0, 0, d)
+                walk(int(child_idx[wnode, k]), d + 1)
                 skip[me] = len(skip)  # past my whole subtree
 
     import sys
@@ -88,13 +97,13 @@ def build_skip_links(child_min, child_max, child_idx, child_count,
     old_limit = sys.getrecursionlimit()
     sys.setrecursionlimit(max(old_limit, 100000))
     try:
-        walk(0)
+        walk(0, 0)
     finally:
         sys.setrecursionlimit(old_limit)
 
     m = len(skip)
     if m == 0:  # degenerate single-leaf scene
-        emit(np.zeros(3), np.zeros(3), 0, 0)
+        emit(np.zeros(3), np.zeros(3), 0, 0, 0)
         skip[0] = 1
         m = 1
     return SkipBVH(
@@ -103,7 +112,10 @@ def build_skip_links(child_min, child_max, child_idx, child_count,
         first=jnp.asarray(first, jnp.int32),
         count=jnp.asarray(count, jnp.int32),
         skip=jnp.asarray(skip, jnp.int32),
+        depth=jnp.asarray(depth, jnp.int32),
         max_leaf=max_leaf,
+        n_levels=int(max(depth) + 1) if depth else 1,
+        arity=int(arity),
     )
 
 

@@ -30,6 +30,7 @@ from gfxexp_tpu.scene.types import (
     EnvLight,
     InstanceTable,
     MaterialTable,
+    ObjectTriangles,
     SceneData,
     TriangleSoA,
     UnitTable,
@@ -242,7 +243,8 @@ class SceneBuilder:
         mats = self.materials or [HostMaterial()]
 
         tri_chunks = {k: [] for k in (
-            "p0", "e1", "e2", "n0", "n1", "n2", "uv0", "uv1", "uv2", "unit")}
+            "p0", "e1", "e2", "n0", "n1", "n2", "uv0", "uv1", "uv2", "unit",
+            "op0", "oe1", "oe2", "on0", "on1", "on2", "inst")}
         unit_material, unit_instance = [], []
         unit_tri_offset, unit_tri_count = [], []
         unit_importance = []
@@ -276,6 +278,17 @@ class SceneBuilder:
                 tri_chunks["uv2"].append(g.texcoords[i2])
                 nt = len(g.indices)
                 tri_chunks["unit"].append(np.full(nt, unit_cursor, np.int32))
+                # object-space copies for animation (types.ObjectTriangles)
+                ov = g.positions
+                onrm = g.normals
+                op0, op1, op2 = ov[i0], ov[i1], ov[i2]
+                tri_chunks["op0"].append(op0)
+                tri_chunks["oe1"].append(op1 - op0)
+                tri_chunks["oe2"].append(op2 - op0)
+                tri_chunks["on0"].append(onrm[i0])
+                tri_chunks["on1"].append(onrm[i1])
+                tri_chunks["on2"].append(onrm[i2])
+                tri_chunks["inst"].append(np.full(nt, inst_id, np.int32))
 
                 # per-triangle emissive importance = world area x emittance
                 # luminance (reference: computeTriangleProbBuffer,
@@ -302,7 +315,7 @@ class SceneBuilder:
 
         def cat(key):
             return np.asarray(np.concatenate(tri_chunks[key]).astype(
-                np.int32 if key == "unit" else np.float32))
+                np.int32 if key in ("unit", "inst") else np.float32))
 
         triangles = TriangleSoA(
             p0=cat("p0"), e1=cat("e1"), e2=cat("e2"),
@@ -368,6 +381,12 @@ class SceneBuilder:
                 enabled=np.asarray(True),
             )
 
+        object_triangles = ObjectTriangles(
+            p0=cat("op0"), e1=cat("oe1"), e2=cat("oe2"),
+            n0=cat("on0"), n1=cat("on1"), n2=cat("on2"),
+            instance=cat("inst"),
+        )
+
         return SceneData(
             materials=materials,
             triangles=triangles,
@@ -377,6 +396,7 @@ class SceneBuilder:
             light_unit_pmf=np.asarray(unit_pmf, np.float32),
             total_emissive_importance=np.float32(total_imp),
             env=env,
+            object_triangles=object_triangles,
         )
 
 

@@ -41,6 +41,16 @@ def apply_triangle_permutation(scene: SceneData, perm: np.ndarray) -> SceneData:
             light_tri_index=inv[ga(scene.units.light_tri_index)],
             light_tri_pmf=ga(scene.units.light_tri_pmf)[p],
         ),
+        object_triangles=None if scene.object_triangles is None else
+        scene.object_triangles.replace(
+            p0=ga(scene.object_triangles.p0)[p],
+            e1=ga(scene.object_triangles.e1)[p],
+            e2=ga(scene.object_triangles.e2)[p],
+            n0=ga(scene.object_triangles.n0)[p],
+            n1=ga(scene.object_triangles.n1)[p],
+            n2=ga(scene.object_triangles.n2)[p],
+            instance=ga(scene.object_triangles.instance)[p],
+        ),
     )
 
 

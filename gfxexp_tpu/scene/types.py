@@ -129,6 +129,22 @@ class EnvLight:
 
 
 @struct.dataclass
+class ObjectTriangles:
+    """Object-space copy of the triangle data, kept for animation: per-frame
+    world geometry = instance transform applied to these (a batched matmul),
+    then the BVH is refit on device (reference rebuilds its AS per frame,
+    common_host.h Scene::updateASs:1027)."""
+
+    p0: jnp.ndarray  # [T, 3]
+    e1: jnp.ndarray
+    e2: jnp.ndarray
+    n0: jnp.ndarray
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    instance: jnp.ndarray  # [T] int32 owning instance
+
+
+@struct.dataclass
 class SceneData:
     """Everything the device kernels need for one frame. A pure pytree —
     donate/carry through jit, shard or replicate freely."""
@@ -143,6 +159,7 @@ class SceneData:
     light_unit_pmf: jnp.ndarray
     total_emissive_importance: jnp.ndarray  # []
     env: Optional[EnvLight] = None
+    object_triangles: Optional[ObjectTriangles] = None
 
     @property
     def num_triangles(self):
