@@ -39,7 +39,7 @@ def build_bench_scene():
     from gfxexp_tpu.scene.compile import compile_scene
     from gfxexp_tpu.scene.loaders import load_obj
 
-    cache_file = os.path.join(_CACHE, "bench_scene_v2.pkl")
+    cache_file = os.path.join(_CACHE, "bench_scene_v3.pkl")
     if os.path.exists(cache_file):
         with open(cache_file, "rb") as f:
             return pickle.load(f)  # numpy pytrees; main() moves them on-device

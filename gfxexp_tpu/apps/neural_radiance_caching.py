@@ -1,0 +1,97 @@
+"""neural_radiance_caching app — path tracing with an online-trained neural
+radiance cache (reference:
+neural_radiance_caching/neural_radiance_caching_main.cpp; CLI flags
+-position-encoding / -num-hidden-layers / -learning-rate mirror
+main.cpp:458-460,762-787)."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from gfxexp_tpu.apps import common
+
+
+def main(argv=None):
+    p = common.make_arg_parser("neural_radiance_caching")
+    p.add_argument("-position-encoding", choices=["triangle_wave", "hash_grid"],
+                   default="hash_grid")
+    p.add_argument("-num-hidden-layers", type=int, default=2)
+    p.add_argument("-learning-rate", type=float, default=1e-2)
+    p.add_argument("-train-steps", type=int, default=4,
+                   help="optimizer steps per frame (reference: 4)")
+    p.add_argument("-train-stride", type=int, default=16)
+    p.add_argument("-visualize-cache", action="store_true",
+                   help="render the raw cache prediction at the primary hit")
+    p.add_argument("-checkpoint", type=str, default=None,
+                   help="save the trained cache to this file at the end")
+    p.add_argument("-resume", type=str, default=None,
+                   help="load cache weights before rendering")
+    args = common.parse_scene_args(p, argv)
+    from gfxexp_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from gfxexp_tpu.render.film import add_sample, make_film
+    from gfxexp_tpu.scene.animation import advance_frame
+    from gfxexp_tpu.scene.compile import compile_scene
+    from gfxexp_tpu.techniques.nrc import NRCConfig, init_nrc, train_step
+    from gfxexp_tpu.techniques.nrc.cache import (
+        NRCIntegratorConfig,
+        render_sample_nrc,
+        scene_aabb,
+    )
+
+    builder, controllers = common.build_scene_from_dsl(args, args.scene_args)
+    if not builder.instances:
+        builder = common.default_demo_builder()
+    scene, bvh = compile_scene(builder)
+    camera = common.make_camera_from_args(args)
+    nrc_cfg = NRCConfig(position_encoding=args.position_encoding,
+                        num_hidden_layers=args.num_hidden_layers,
+                        learning_rate=args.learning_rate)
+    icfg = NRCIntegratorConfig(max_path_length=args.max_path_length,
+                               train_stride=args.train_stride,
+                               enable_jitter=not args.no_jitter)
+
+    state = init_nrc(jax.random.PRNGKey(0), nrc_cfg)
+    if args.resume:
+        from gfxexp_tpu.utils.checkpoint import load_checkpoint
+
+        state = load_checkpoint(args.resume, like=state)
+        print(f"resumed cache from {args.resume}", file=sys.stderr)
+    lo, hi = scene_aabb(scene)
+
+    film = make_film(args.width, args.height)
+    timer = common.PassTimer()
+    for f in range(args.frames):
+        if controllers:
+            scene, bvh = timer.measure(
+                "update", advance_frame, scene, bvh, controllers, f / 60.0)
+        radiance, tq, tt, tm = timer.measure(
+            "pathTrace+infer", render_sample_nrc, scene, bvh, camera,
+            state["ema"], lo, hi, args.width, args.height, jnp.uint32(f),
+            icfg, nrc_cfg)
+        for _ in range(args.train_steps):
+            state, loss = timer.measure(
+                "train", train_step, state, tq, tt, tm, nrc_cfg)
+        film = add_sample(film, radiance.reshape(args.height, args.width, 3))
+        if args.stats and (f % 16 == 15):
+            print(f"frame {f + 1}/{args.frames}: {timer.report()}, "
+                  f"loss {float(loss):.4f}", file=sys.stderr)
+
+    common.save_outputs(args, np.asarray(film.beauty))
+    if args.checkpoint:
+        from gfxexp_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(args.checkpoint, state)
+        print(f"saved cache to {args.checkpoint}", file=sys.stderr)
+    if args.stats:
+        print("final:", timer.report(), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""path_tracing app — baseline NEE+MIS path tracer with progressive
+accumulation (reference: path_tracing/path_tracing_main.cpp).
+
+Usage (reference-style DSL):
+  python -m gfxexp_tpu.apps.path_tracing -cam-pos 0 0 3.2 -frames 64 \
+      -name floor -rectangle 4 4 -inst floor \
+      -name lamp -emittance 30 30 30 -rectangle 1 1 -inst lamp -position 0 2 0
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from gfxexp_tpu.apps import common
+
+
+def main(argv=None):
+    args = common.parse_scene_args(common.make_arg_parser("path_tracing"), argv)
+    from gfxexp_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
+    import jax.numpy as jnp
+
+    from gfxexp_tpu.render.film import add_sample, make_film
+    from gfxexp_tpu.render.pathtrace import PTConfig, render_sample
+    from gfxexp_tpu.scene.animation import advance_frame
+    from gfxexp_tpu.scene.compile import compile_scene
+
+    builder, controllers = common.build_scene_from_dsl(args, args.scene_args)
+    if not builder.instances:
+        builder = common.default_demo_builder()
+    scene, bvh = compile_scene(builder)
+    camera = common.make_camera_from_args(args)
+    cfg = PTConfig(max_path_length=args.max_path_length,
+                   enable_jitter=not args.no_jitter,
+                   enable_bump_mapping=args.bump)
+
+    film = make_film(args.width, args.height)
+    timer = common.PassTimer()
+    for f in range(args.frames):
+        if controllers:
+            scene, bvh = timer.measure(
+                "update", advance_frame, scene, bvh, controllers, f / 60.0)
+        radiance = timer.measure(
+            "pathTrace", render_sample, scene, bvh, camera,
+            args.width, args.height, jnp.uint32(f), cfg)
+        film = add_sample(film, radiance.reshape(args.height, args.width, 3))
+        if args.stats and (f % 16 == 15):
+            print(f"frame {f + 1}/{args.frames}: {timer.report()}",
+                  file=sys.stderr)
+
+    common.save_outputs(args, np.asarray(film.beauty))
+    if args.stats:
+        print("final:", timer.report(), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""restir_di app — reservoir spatiotemporal resampled direct illumination
+(reference: restir_di/restir_di_main.cpp)."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from gfxexp_tpu.apps import common
+
+
+def main(argv=None):
+    p = common.make_arg_parser("restir_di")
+    p.add_argument("-unbiased", action="store_true")
+    p.add_argument("-log2-num-candidates", type=int, default=3)
+    p.add_argument("-spatial-passes", type=int, default=2)
+    p.add_argument("-spatial-neighbors", type=int, default=3)
+    p.add_argument("-spatial-radius", type=float, default=20.0)
+    p.add_argument("-no-temporal", action="store_true")
+    p.add_argument("-no-spatial", action="store_true")
+    p.add_argument("-no-reuse-visibility", action="store_true")
+    args = common.parse_scene_args(p, argv)
+    from gfxexp_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
+    import jax.numpy as jnp
+
+    from gfxexp_tpu.render.film import add_sample, make_film
+    from gfxexp_tpu.render.gbuffer import render_gbuffer
+    from gfxexp_tpu.scene.animation import advance_frame
+    from gfxexp_tpu.scene.compile import compile_scene
+    from gfxexp_tpu.techniques.restir_di import (
+        ReSTIRConfig,
+        empty_reservoir,
+        pixel_ctx,
+        restir_di_frame,
+    )
+
+    builder, controllers = common.build_scene_from_dsl(args, args.scene_args)
+    if not builder.instances:
+        builder = common.default_demo_builder()
+    scene, bvh = compile_scene(builder)
+    camera = common.make_camera_from_args(args)
+    prev_camera = camera
+    cfg = ReSTIRConfig(
+        log2_num_candidates=args.log2_num_candidates,
+        enable_temporal_reuse=not args.no_temporal,
+        enable_spatial_reuse=not args.no_spatial,
+        num_spatial_passes=args.spatial_passes,
+        num_spatial_neighbors=args.spatial_neighbors,
+        spatial_radius=args.spatial_radius,
+        use_unbiased_estimator=args.unbiased,
+        reuse_visibility=not args.no_reuse_visibility,
+    )
+
+    n = args.width * args.height
+    film = make_film(args.width, args.height)
+    timer = common.PassTimer()
+    res = empty_reservoir(n)
+    gb = render_gbuffer(scene, bvh, camera, prev_camera,
+                        args.width, args.height, jnp.uint32(0),
+                        not args.no_jitter)
+    ctx = pixel_ctx(scene, gb, camera)
+    prev_hit = gb.hit.reshape(n)
+    prev_pos = gb.position.reshape(n, 3)
+    prev_nrm = gb.normal.reshape(n, 3)
+
+    for f in range(args.frames):
+        if controllers:
+            scene, bvh = timer.measure(
+                "update", advance_frame, scene, bvh, controllers, f / 60.0)
+        gb = timer.measure(
+            "gbuffer", render_gbuffer, scene, bvh, camera, prev_camera,
+            args.width, args.height, jnp.uint32(f), not args.no_jitter)
+        color, res, ctx = timer.measure(
+            "restir", restir_di_frame, scene, bvh, gb, camera, res, ctx,
+            prev_hit, prev_pos, prev_nrm, jnp.uint32(f), cfg)
+        prev_hit = gb.hit.reshape(n)
+        prev_pos = gb.position.reshape(n, 3)
+        prev_nrm = gb.normal.reshape(n, 3)
+        prev_camera = camera
+        film = add_sample(film, color)
+        if args.stats and (f % 16 == 15):
+            print(f"frame {f + 1}/{args.frames}: {timer.report()}",
+                  file=sys.stderr)
+
+    common.save_outputs(args, np.asarray(film.beauty))
+    if args.stats:
+        print("final:", timer.report(), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -272,7 +272,7 @@ def bsdf_dh_reflectance(p: BSDFParams, v_given):
 
 def material_params(materials, mat_idx) -> BSDFParams:
     """Gather per-lane BSDFParams from the material table (constant-color
-    path; textured fetch plugs in here)."""
+    path)."""
     from gfxexp_tpu.scene.types import BSDF_LAMBERT
 
     return BSDFParams(
@@ -281,3 +281,18 @@ def material_params(materials, mat_idx) -> BSDFParams:
         roughness=jnp.minimum(materials.roughness[mat_idx], 0.999),
         is_lambert=materials.bsdf_type[mat_idx] == BSDF_LAMBERT,
     )
+
+
+def material_params_textured(materials, atlas, mat_idx, uv) -> BSDFParams:
+    """BSDFParams with texture fetches where the material's texture slot is
+    set (reference: BSDF::setup texture sampling, common_device.cuh:830+);
+    atlas None falls back to constants."""
+    base = material_params(materials, mat_idx)
+    if atlas is None or getattr(atlas, "count", 0) == 0:
+        return base
+    from gfxexp_tpu.scene.textures import sample_bilinear
+
+    tid = materials.diffuse_tex[mat_idx]
+    texel = sample_bilinear(atlas, tid, uv)
+    diffuse = jnp.where((tid >= 0)[:, None], texel[:, :3], base.diffuse)
+    return base.replace(diffuse=diffuse)

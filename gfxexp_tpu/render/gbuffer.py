@@ -23,7 +23,7 @@ from gfxexp_tpu.accel.bvh_build import BVH
 from gfxexp_tpu.accel.traverse import intersect_closest
 from gfxexp_tpu.core.math import make_frame, normalize, to_local
 from gfxexp_tpu.core.rng import SampleStream
-from gfxexp_tpu.render.bsdf import bsdf_dh_reflectance, material_params
+from gfxexp_tpu.render.bsdf import bsdf_dh_reflectance, material_params_textured
 from gfxexp_tpu.render.camera import (
     Camera,
     generate_rays_for_lanes,
@@ -86,7 +86,7 @@ def render_gbuffer(
     v_out = -ray_d
     t, b = make_frame(sp.shading_normal)
     v_out_local = to_local(t, b, sp.shading_normal, v_out)
-    params = material_params(scene.materials, sp.material)
+    params = material_params_textured(scene.materials, scene.textures, sp.material, sp.texcoord)
     albedo = bsdf_dh_reflectance(params, v_out_local)
 
     # motion vector: world pos -> object space (inverse cur transform) ->

@@ -39,6 +39,7 @@ from gfxexp_tpu.render.bsdf import (
     bsdf_pdf,
     bsdf_sample,
     material_params,
+    material_params_textured,
 )
 from gfxexp_tpu.render.camera import (
     Camera,
@@ -70,6 +71,7 @@ class PTConfig:
     use_explicit_light_sampling: bool = True
     russian_roulette: bool = True
     count_rays: bool = False  # also return the number of rays actually traced
+    enable_bump_mapping: bool = False  # reference: plp.f->enableBumpMapping
 
     @property
     def use_mis(self):
@@ -85,6 +87,7 @@ class SurfacePoint:
     geom_normal: jnp.ndarray  # [R, 3] unit geometric normal
     shading_normal: jnp.ndarray  # [R, 3]
     texcoord: jnp.ndarray  # [R, 2]
+    tangent: jnp.ndarray  # [R, 3] texcoord-0 direction (for normal mapping)
     unit: jnp.ndarray  # [R] int32
     material: jnp.ndarray  # [R] int32
     emittance: jnp.ndarray  # [R, 3]
@@ -105,21 +108,37 @@ def compute_surface_point(scene: SceneData, tri_idx, u, v) -> SurfacePoint:
         + v[..., None] * tris.n2[tri_idx]
     )
     sn = normalize(sn)
-    tc = (
-        w[..., None] * tris.uv0[tri_idx]
-        + u[..., None] * tris.uv1[tri_idx]
-        + v[..., None] * tris.uv2[tri_idx]
-    )
+    uv0 = tris.uv0[tri_idx]
+    uv1 = tris.uv1[tri_idx]
+    uv2 = tris.uv2[tri_idx]
+    tc = w[..., None] * uv0 + u[..., None] * uv1 + v[..., None] * uv2
+    # texcoord-0 direction (reference: texCoord0DirInWorld) from uv edges
+    duv1 = uv1 - uv0
+    duv2 = uv2 - uv0
+    det = duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0]
+    tan = duv2[..., 1:2] * e1 - duv1[..., 1:2] * e2
+    degenerate = jnp.abs(det) < 1e-12
+    fallback, _ = make_frame(sn)
+    tan = jnp.where(degenerate[..., None], fallback, tan)
+    tan = normalize(tan - jnp.sum(tan * sn, axis=-1, keepdims=True) * sn)
     unit = tris.unit_id[tri_idx]
     mat = scene.units.material[unit]
+    emit = scene.materials.emittance[mat]
+    if scene.textures is not None and getattr(scene.textures, "count", 0) > 0:
+        from gfxexp_tpu.scene.textures import sample_bilinear
+
+        etid = scene.materials.emittance_tex[mat]
+        etex = sample_bilinear(scene.textures, etid, tc)
+        emit = jnp.where((etid >= 0)[:, None], etex[:, :3], emit)
     return SurfacePoint(
         position=position,
         geom_normal=gn,
         shading_normal=sn,
         texcoord=tc,
+        tangent=tan,
         unit=unit,
         material=mat,
-        emittance=scene.materials.emittance[mat],
+        emittance=emit,
     )
 
 
@@ -249,8 +268,23 @@ def render_lanes(
         front = jnp.sum(v_out * sp.geom_normal, axis=-1) >= 0.0
         gn_signed = jnp.where(front[..., None], sp.geom_normal, -sp.geom_normal)
         pos_off = offset_ray_origin(sp.position, gn_signed)
-        t, b = make_frame(sp.shading_normal)
         nrm = sp.shading_normal
+        if cfg.enable_bump_mapping and scene.textures is not None:
+            # reference: applyBumpMapping (common_device.cuh:176) with the
+            # texcoord-aligned frame
+            from gfxexp_tpu.scene.textures import (
+                apply_bump,
+                decode_normal_map,
+                sample_bilinear,
+            )
+
+            ntid = scene.materials.normal_tex[sp.material]
+            texel = sample_bilinear(scene.textures, ntid, sp.texcoord)
+            local_n = decode_normal_map(texel)
+            bit = jnp.cross(nrm, sp.tangent)
+            bumped = normalize(apply_bump(nrm, sp.tangent, bit, local_n))
+            nrm = jnp.where((ntid >= 0)[:, None], bumped, nrm)
+        t, b = make_frame(nrm)
         v_out_local = to_local(t, b, nrm, v_out)
 
         # ---- implicit emitter contribution ------------------------------
@@ -287,7 +321,8 @@ def render_lanes(
             break  # final vertex only collects implicit light
 
         # ---- NEE ---------------------------------------------------------
-        params = material_params(scene.materials, sp.material)
+        params = material_params_textured(
+            scene.materials, scene.textures, sp.material, sp.texcoord)
         sp_off = sp.replace(position=pos_off)
         if cfg.use_explicit_light_sampling:
             if cfg.count_rays:

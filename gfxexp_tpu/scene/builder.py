@@ -89,12 +89,38 @@ class SceneBuilder:
     device SceneData pytree."""
 
     def __init__(self):
+        from gfxexp_tpu.scene.textures import AtlasBuilder
+
         self.materials: List[HostMaterial] = []
         self.geometries: List[HostGeometry] = []
         self.instances: List[HostInstance] = []
         self.env_radiance: Optional[np.ndarray] = None  # [H, W, 3]
         self.env_power: float = 1.0
         self.env_rotation: float = 0.0
+        self.atlas = AtlasBuilder()
+        self._texture_cache: dict = {}
+
+    def add_texture(self, image: np.ndarray) -> int:
+        """Register a texture image ([H,W,C] float linear); returns id."""
+        return self.atlas.add(image)
+
+    def load_texture(self, path: str, to_linear: bool = True) -> int:
+        """Load + cache a texture file (PNG/JPG via PIL, DDS via the BC
+        decoder) — reference: loadTexture cache, common_host.cpp:992."""
+        key = (path, to_linear)
+        if key in self._texture_cache:
+            return self._texture_cache[key]
+        if path.lower().endswith(".dds"):
+            from gfxexp_tpu.scene.textures import load_dds
+
+            img = load_dds(path)
+        else:
+            from gfxexp_tpu.utils.image_io import load_png
+
+            img = load_png(path, to_linear=to_linear)
+        tid = self.add_texture(img)
+        self._texture_cache[key] = tid
+        return tid
 
     # -- materials ---------------------------------------------------------
 
@@ -397,6 +423,7 @@ class SceneBuilder:
             total_emissive_importance=np.float32(total_imp),
             env=env,
             object_triangles=object_triangles,
+            textures=self.atlas.build() if self.atlas.images else None,
         )
 
 

@@ -45,11 +45,25 @@ def parse_mtl(path: str) -> Dict[str, dict]:
     return mats
 
 
-def _mtl_to_material(props: dict, convention: str) -> HostMaterial:
+def _mtl_to_material(props: dict, convention: str, builder=None,
+                     base_dir: str = "") -> HostMaterial:
     kd = props.get("Kd", [0.8, 0.8, 0.8])
     ks = props.get("Ks", [0.0, 0.0, 0.0])
     ke = props.get("Ke", [0.0, 0.0, 0.0])
     ns = props.get("Ns", 10.0)
+    diffuse_tex = -1
+    normal_tex = -1
+    if builder is not None:
+        if "map_Kd" in props:
+            p = os.path.join(base_dir, props["map_Kd"])
+            if os.path.exists(p):
+                diffuse_tex = builder.load_texture(p, to_linear=True)
+        for key in ("map_Bump", "map_bump", "bump", "norm"):
+            if key in props:
+                p = os.path.join(base_dir, props[key])
+                if os.path.exists(p):
+                    normal_tex = builder.load_texture(p, to_linear=False)
+                break
     if convention == "simple_pbr":
         # reference: createTriangleMeshes "simple_pbr" path reads base color +
         # roughness/metallic (common_host.cpp:2178 material branch)
@@ -63,6 +77,8 @@ def _mtl_to_material(props: dict, convention: str) -> HostMaterial:
             roughness=float(rough),
             metallic=float(metal),
             emittance=tuple(ke),
+            diffuse_tex=diffuse_tex,
+            normal_tex=normal_tex,
         )
     # traditional: Ns (Phong exponent) -> smoothness as the reference does for
     # assimp shininess (createDiffuseAndSpecularMaterial, common_host.cpp:1556)
@@ -73,6 +89,8 @@ def _mtl_to_material(props: dict, convention: str) -> HostMaterial:
         specular_f0=tuple(ks),
         roughness=1.0 - smoothness,
         emittance=tuple(ke),
+        diffuse_tex=diffuse_tex,
+        normal_tex=normal_tex,
     )
 
 
@@ -134,7 +152,8 @@ def load_obj(
         if mat_name not in mat_slot:
             if mat_name in mtl_defs:
                 mat_slot[mat_name] = builder.add_material(
-                    _mtl_to_material(mtl_defs[mat_name], material_convention)
+                    _mtl_to_material(mtl_defs[mat_name], material_convention,
+                                     builder=builder, base_dir=base_dir)
                 )
             elif default_material is not None:
                 mat_slot[mat_name] = default_material

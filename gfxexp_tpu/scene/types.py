@@ -160,6 +160,7 @@ class SceneData:
     total_emissive_importance: jnp.ndarray  # []
     env: Optional[EnvLight] = None
     object_triangles: Optional[ObjectTriangles] = None
+    textures: Optional[object] = None  # scene/textures.py TextureAtlas
 
     @property
     def num_triangles(self):

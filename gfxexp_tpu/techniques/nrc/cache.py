@@ -41,7 +41,7 @@ from gfxexp_tpu.core.math import (
 from gfxexp_tpu.core.rng import SampleStream
 from gfxexp_tpu.render.bsdf import (
     bsdf_sample,
-    material_params,
+    material_params_textured,
 )
 from gfxexp_tpu.render.camera import (
     generate_rays_for_lanes,
@@ -209,7 +209,7 @@ def render_sample_nrc(
         t, b = make_frame(sp.shading_normal)
         nrm = sp.shading_normal
         v_out_local = to_local(t, b, nrm, v_out)
-        params = material_params(scene.materials, sp.material)
+        params = material_params_textured(scene.materials, scene.textures, sp.material, sp.texcoord)
 
         if bounce == 1:
             d2 = jnp.maximum(hit.t**2, 1e-12)

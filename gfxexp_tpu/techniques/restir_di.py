@@ -31,7 +31,7 @@ from flax import struct
 from gfxexp_tpu.accel.traverse import intersect_any
 from gfxexp_tpu.core.math import make_frame, offset_ray_origin, to_local
 from gfxexp_tpu.core.rng import SampleStream
-from gfxexp_tpu.render.bsdf import BSDFParams, bsdf_evaluate, material_params
+from gfxexp_tpu.render.bsdf import BSDFParams, bsdf_evaluate, material_params_textured
 from gfxexp_tpu.render.camera import Camera
 from gfxexp_tpu.render.gbuffer import GBuffer
 from gfxexp_tpu.scene.lights import (
@@ -111,7 +111,8 @@ def pixel_ctx(scene: SceneData, gb: GBuffer, camera: Camera) -> PixelCtx:
     t, b = make_frame(sn)
     v_out_local = to_local(t, b, sn, v_out)
     mat = jnp.maximum(gb.material.reshape(n), 0)
-    params = material_params(scene.materials, mat)
+    params = material_params_textured(
+        scene.materials, scene.textures, mat, gb.texcoord.reshape(n, 2))
     return PixelCtx(
         pos=pos_off, v_out_local=v_out_local, t=t, b=b, n=sn,
         params=params, valid=gb.hit.reshape(n), cam_dist=dist,
