@@ -1,0 +1,379 @@
+"""NRTDSM — nonlinear ray tracing for displacement and shell mapping.
+
+Reference: nrtdsm/ — rays become degree-2 rational curves in the shell's
+texture space; intersection machinery (reference:
+gpu_kernels/nrtdsm_intersection_kernels.h — testRayVsPrism:131,186,
+solveCubicEquationNumerical:616, computeCanonicalSpaceRayCoeffs:802
+(rational quadratic barycentrics over a shared denominator),
+computeTextureSpaceRayCoeffs:855; per-triangle min/max height aux
+common_shared.h NRTDSMTriangleAuxInfo:1221; CPU validation
+nrtdsm_sandbox.cpp testSolveCubicEquation:473, testFindHeight:572,
+testComputeCanonicalSpaceRayCoeffs:745, testRayVsPrism:1721).
+
+TPU port: the polynomial math is ported faithfully (it is pure arithmetic);
+the reference's per-ray minmax-mip stack traversal
+(MipMapStack_T, :1523-1630) is replaced by the same bounded-step
+march-and-bisect scheme as techniques/tfdm.py, but with the EXACT nonlinear
+shell coordinates: height h(x) solves the cubic det[B(h)-A(h), C(h)-A(h),
+x-A(h)] = 0 and barycentrics follow from the in-plane solve — displacement is
+along the interpolated vertex normals exactly (no face-normal
+approximation). Shell mapping (texture-space BVH contents,
+reference :1632 forShellMapping) is exposed through the same height-solve
+machinery with the shell interior parameterized by (u, v, h); BVH-in-shell
+instancing is a planned extension (the CPU BVH builder already exists in
+accel/)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from gfxexp_tpu.techniques.tfdm import (
+    DisplacementParameters,
+    MinMaxMipmap,
+    build_minmax_mipmap,
+    sample_height as _tfdm_sample_height,
+)
+
+
+# ---------------------------------------------------------------------------
+# polynomial utilities (reference: solveCubicEquationNumerical,
+# nrtdsm_intersection_kernels.h:616 — bracketed bisection+Newton in a range)
+# ---------------------------------------------------------------------------
+
+
+def eval_cubic(coeffs, x):
+    """coeffs [..., 4] = (k0, k1, k2, k3) for k0 + k1 x + k2 x^2 + k3 x^3."""
+    k0, k1, k2, k3 = (coeffs[..., i] for i in range(4))
+    return k0 + x * (k1 + x * (k2 + x * k3))
+
+
+def solve_cubic_in_interval(coeffs, x_lo, x_hi, n_scan: int = 8,
+                            n_bisect: int = 24):
+    """Smallest root of the cubic in [x_lo, x_hi], vectorized.
+
+    Scans n_scan sub-intervals for a sign change, then bisects. Returns
+    (root, found) — root = x_hi where none found."""
+    xs = [x_lo + (x_hi - x_lo) * (i / n_scan) for i in range(n_scan + 1)]
+    f_prev = eval_cubic(coeffs, xs[0])
+    lo = x_hi
+    hi = x_hi
+    found = jnp.zeros(jnp.shape(f_prev), bool)
+    x_prev = xs[0]
+    for i in range(1, n_scan + 1):
+        f_cur = eval_cubic(coeffs, xs[i])
+        crossing = ~found & (jnp.sign(f_prev) != jnp.sign(f_cur))
+        lo = jnp.where(crossing, x_prev, lo)
+        hi = jnp.where(crossing, xs[i], hi)
+        found = found | crossing
+        f_prev, x_prev = f_cur, xs[i]
+    f_lo = eval_cubic(coeffs, lo)
+    for _ in range(n_bisect):
+        mid = 0.5 * (lo + hi)
+        f_mid = eval_cubic(coeffs, mid)
+        same = jnp.sign(f_mid) == jnp.sign(f_lo)
+        lo = jnp.where(same, mid, lo)
+        f_lo = jnp.where(same, f_mid, f_lo)
+        hi = jnp.where(same, hi, mid)
+    return 0.5 * (lo + hi), found
+
+
+# ---------------------------------------------------------------------------
+# canonical/texture-space ray coefficients (reference :802/:855)
+# ---------------------------------------------------------------------------
+
+
+def compute_canonical_space_ray_coeffs(ray_org, e0, e1, p_a, p_b, p_c,
+                                       n_a, n_b, n_c):
+    """Rational quadratic barycentrics along the ray: at height h,
+    alpha(h) = (bc2.x h^2 + bc1.x h + bc0.x) / denom(h),
+    beta(h)  = (bc2.y h^2 + bc1.y h + bc0.y) / denom(h),
+    denom(h) = denom2 h^2 + denom1 h + denom0.
+    e0/e1 span the plane orthogonal to the ray direction
+    (reference: computeCanonicalSpaceRayCoeffs)."""
+    def proj2(v):
+        return jnp.stack([jnp.sum(v * e0, -1), jnp.sum(v * e1, -1)], -1)
+
+    e_ab = proj2(p_b - p_a)
+    e_ac = proj2(p_c - p_a)
+    f_ab = proj2(n_b - n_a)
+    f_ac = proj2(n_c - n_a)
+    e_ao = proj2(ray_org - p_a)
+    na = proj2(n_a)
+
+    cross2 = lambda u, v: u[..., 0] * v[..., 1] - u[..., 1] * v[..., 0]
+    denom2 = cross2(f_ab, f_ac)
+    denom1 = cross2(e_ab, f_ac) + cross2(f_ab, e_ac)
+    denom0 = cross2(e_ab, e_ac)
+    bc2 = jnp.stack([-cross2(na, f_ac), cross2(na, f_ab)], -1)
+    bc1 = jnp.stack(
+        [cross2(e_ao, f_ac) - cross2(na, e_ac),
+         -(cross2(e_ao, f_ab) - cross2(na, e_ab))], -1)
+    bc0 = jnp.stack([cross2(e_ao, e_ac), -cross2(e_ao, e_ab)], -1)
+    return bc2, bc1, bc0, denom2, denom1, denom0
+
+
+def compute_texture_space_ray_coeffs(tc_a, tc_b, tc_c, bc2, bc1, bc0,
+                                     denom2, denom1, denom0):
+    """Texture-space curve coefficients (reference :855): the uv position
+    along the ray is (tc2 h^2 + tc1 h + tc0) / denom(h)."""
+    def mix(bc, den):
+        w = (den - bc[..., 0] - bc[..., 1])[..., None]
+        return w * tc_a + bc[..., 0:1] * tc_b + bc[..., 1:2] * tc_c
+
+    return mix(bc2, denom2), mix(bc1, denom1), mix(bc0, denom0)
+
+
+# ---------------------------------------------------------------------------
+# shell coordinate solve: height + barycentrics of a world point
+# (reference sandbox: testFindHeight, nrtdsm_sandbox.cpp:572)
+# ---------------------------------------------------------------------------
+
+
+def height_cubic_coeffs(p_a, p_b, p_c, n_a, n_b, n_c, x):
+    """Coefficients of det[B(h)-A(h), C(h)-A(h), x-A(h)] = 0 (cubic in h)
+    where A(h) = pA + h nA etc."""
+    e_ab = p_b - p_a
+    e_ac = p_c - p_a
+    f_ab = n_b - n_a
+    f_ac = n_c - n_a
+    e_ax = x - p_a
+    c0 = jnp.cross(e_ab, e_ac)
+    c1 = jnp.cross(e_ab, f_ac) + jnp.cross(f_ab, e_ac)
+    c2 = jnp.cross(f_ab, f_ac)
+    k0 = jnp.sum(c0 * e_ax, -1)
+    k1 = jnp.sum(c1 * e_ax, -1) - jnp.sum(c0 * n_a, -1)
+    k2 = jnp.sum(c2 * e_ax, -1) - jnp.sum(c1 * n_a, -1)
+    k3 = -jnp.sum(c2 * n_a, -1)
+    k0, k1, k2, k3 = jnp.broadcast_arrays(k0, k1, k2, k3)
+    return jnp.stack([k0, k1, k2, k3], axis=-1)
+
+
+def find_height(p_a, p_b, p_c, n_a, n_b, n_c, x, h_lo, h_hi):
+    """Solve shell height + barycentrics for point x (vectorized).
+    Returns (h, b1, b2, found)."""
+    coeffs = height_cubic_coeffs(p_a, p_b, p_c, n_a, n_b, n_c, x)
+    h, found = solve_cubic_in_interval(coeffs, h_lo, h_hi)
+    # barycentrics in the plane at height h
+    a_h = p_a + h[..., None] * n_a
+    b_h = p_b + h[..., None] * n_b
+    c_h = p_c + h[..., None] * n_c
+    e1 = b_h - a_h
+    e2 = c_h - a_h
+    rel = x - a_h
+    d00 = jnp.sum(e1 * e1, -1)
+    d01 = jnp.sum(e1 * e2, -1)
+    d11 = jnp.sum(e2 * e2, -1)
+    det = jnp.maximum(d00 * d11 - d01 * d01, 1e-20)
+    qa = jnp.sum(rel * e1, -1)
+    qb = jnp.sum(rel * e2, -1)
+    b1 = (d11 * qa - d01 * qb) / det
+    b2 = (d00 * qb - d01 * qa) / det
+    return h, b1, b2, found
+
+
+def shell_point(p_a, p_b, p_c, n_a, n_b, n_c, b1, b2, h):
+    """Forward shell mapping S(b1, b2, h)."""
+    w = 1.0 - b1 - b2
+    base = w[..., None] * p_a + b1[..., None] * p_b + b2[..., None] * p_c
+    nrm = w[..., None] * n_a + b1[..., None] * n_b + b2[..., None] * n_c
+    return base + h[..., None] * nrm
+
+
+def test_ray_vs_prism(o, d, p_a, p_b, p_c, n_a, n_b, n_c, h_lo, h_hi,
+                      t_min, t_max):
+    """Conservative ray-vs-prism interval via the hull AABB of the 6 prism
+    corners (reference computes the exact prism :131; the conservative
+    interval only seeds the bounded march)."""
+    corners = [p_a + h_lo * n_a, p_b + h_lo * n_b, p_c + h_lo * n_c,
+               p_a + h_hi * n_a, p_b + h_hi * n_b, p_c + h_hi * n_c]
+    stack = jnp.stack(corners)
+    lo = stack.min(axis=0) - 1e-5
+    hi = stack.max(axis=0) + 1e-5
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                            jnp.where(d < 0, -1e-12, 1e-12), d)
+    t0 = (lo[None] - o) * inv_d
+    t1 = (hi[None] - o) * inv_d
+    near = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), t_min)
+    far = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1), t_max)
+    return near, far, near <= far
+
+
+@struct.dataclass
+class NRTDSMGeometry:
+    """Displaced base mesh with exact nonlinear shells (reference:
+    GeometryInstanceDataForNRTDSM, common_shared.h:1228; per-triangle
+    min/max heights = NRTDSMTriangleAuxInfo)."""
+
+    p0: jnp.ndarray  # [B, 3] (vertex A)
+    p1: jnp.ndarray
+    p2: jnp.ndarray
+    n0: jnp.ndarray
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    uv0: jnp.ndarray
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    height: jnp.ndarray  # [S, S]
+    minmax: MinMaxMipmap
+    h_lo: float = struct.field(pytree_node=False, default=0.0)
+    h_hi: float = struct.field(pytree_node=False, default=1.0)
+    material: int = struct.field(pytree_node=False, default=0)
+    params: DisplacementParameters = struct.field(
+        pytree_node=False, default=DisplacementParameters())
+
+
+def build_nrtdsm_geometry(positions, indices, uvs, height, params=None,
+                          material: int = 0, normals=None) -> NRTDSMGeometry:
+    from gfxexp_tpu.scene.builder import compute_smooth_normals
+
+    params = params or DisplacementParameters()
+    positions = np.asarray(positions, np.float32)
+    indices = np.asarray(indices, np.int32)
+    uvs = np.asarray(uvs, np.float32)
+    if normals is None:
+        normals = compute_smooth_normals(positions, indices)
+    mm = build_minmax_mipmap(height)
+    hmin = float(np.asarray(mm.levels[mm.n_levels - 1, 0, 0, 0]))
+    hmax = float(np.asarray(mm.levels[mm.n_levels - 1, 0, 0, 1]))
+    d_lo = params.h_offset + params.h_scale * (hmin - params.h_bias)
+    d_hi = params.h_offset + params.h_scale * (hmax - params.h_bias)
+    i0, i1, i2 = indices[:, 0], indices[:, 1], indices[:, 2]
+    h = np.asarray(height, np.float32)
+    if h.ndim == 3:
+        h = h[..., 0]
+    return NRTDSMGeometry(
+        p0=jnp.asarray(positions[i0]), p1=jnp.asarray(positions[i1]),
+        p2=jnp.asarray(positions[i2]),
+        n0=jnp.asarray(normals[i0]), n1=jnp.asarray(normals[i1]),
+        n2=jnp.asarray(normals[i2]),
+        uv0=jnp.asarray(uvs[i0]), uv1=jnp.asarray(uvs[i1]),
+        uv2=jnp.asarray(uvs[i2]),
+        height=jnp.asarray(h), minmax=mm,
+        h_lo=min(d_lo, d_hi) - 1e-5, h_hi=max(d_lo, d_hi) + 1e-5,
+        material=material, params=params,
+    )
+
+
+@struct.dataclass
+class NRTDSMHit:
+    t: jnp.ndarray
+    hit: jnp.ndarray
+    position: jnp.ndarray
+    normal: jnp.ndarray
+    uv: jnp.ndarray
+    prim: jnp.ndarray
+    steps: jnp.ndarray
+
+
+def _height_field(geom: NRTDSMGeometry, uv):
+    p = geom.params
+    # reuse TFDM's local-intersection sampling on a lightweight proxy
+    class _Proxy:
+        height = geom.height
+        params = geom.params
+
+    return p.h_offset + p.h_scale * (
+        _tfdm_sample_height(_Proxy, uv) - p.h_bias)
+
+
+def intersect_nrtdsm(geom: NRTDSMGeometry, o, d, t_min=1e-4, t_max=1e30,
+                     n_steps: int = 48, n_refine: int = 8) -> NRTDSMHit:
+    """Curved-ray displacement intersection: march the ray through each
+    prism; at every sample solve the EXACT shell height cubic and compare
+    with the displaced height field; bisect the first crossing."""
+    n_rays = o.shape[0]
+    n_base = geom.p0.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_rays,))
+    best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_rays,))
+    best_prim = jnp.full((n_rays,), -1, jnp.int32)
+    best_uv = jnp.zeros((n_rays, 2), jnp.float32)
+    best_pos = jnp.zeros((n_rays, 3), jnp.float32)
+    best_nrm = jnp.zeros((n_rays, 3), jnp.float32)
+    steps_total = jnp.zeros((n_rays,), jnp.int32)
+
+    for b in range(n_base):
+        p_a, p_b, p_c = geom.p0[b], geom.p1[b], geom.p2[b]
+        n_a, n_b, n_c = geom.n0[b], geom.n1[b], geom.n2[b]
+        uv_a, uv_b, uv_c = geom.uv0[b], geom.uv1[b], geom.uv2[b]
+        near, far, active = test_ray_vs_prism(
+            o, d, p_a, p_b, p_c, n_a, n_b, n_c, geom.h_lo, geom.h_hi,
+            t_min, best_t)
+
+        def gap_at(t):
+            x = o + t[:, None] * d
+            h, b1, b2, ok = find_height(
+                p_a, p_b, p_c, n_a, n_b, n_c, x,
+                jnp.full((n_rays,), geom.h_lo),
+                jnp.full((n_rays,), geom.h_hi))
+            w = 1.0 - b1 - b2
+            inside = ok & (b1 >= -1e-3) & (b2 >= -1e-3) & (w >= -1e-3)
+            uv = (w[:, None] * uv_a + b1[:, None] * uv_b + b2[:, None] * uv_c)
+            hf = _height_field(geom, uv)
+            return h - hf, inside, uv, (b1, b2, h)
+
+        dt = (far - near) / n_steps
+        t_prev = near
+        gap_prev, inside_prev, _, _ = gap_at(t_prev)
+        found = jnp.zeros((n_rays,), bool)
+        t_lo = near
+        t_hi = far
+        for k in range(1, n_steps + 1):
+            t_cur = near + dt * k
+            gap_cur, inside_cur, _, _ = gap_at(t_cur)
+            crossing = (
+                active & ~found & inside_prev & inside_cur
+                & (jnp.sign(gap_prev) != jnp.sign(gap_cur)))
+            t_lo = jnp.where(crossing, t_prev, t_lo)
+            t_hi = jnp.where(crossing, t_cur, t_hi)
+            found = found | crossing
+            t_prev, gap_prev, inside_prev = t_cur, gap_cur, inside_cur
+        steps_total = steps_total + jnp.where(active, n_steps, 0)
+
+        gap_lo, _, _, _ = gap_at(t_lo)
+        for _ in range(n_refine):
+            t_mid = 0.5 * (t_lo + t_hi)
+            gap_mid, _, _, _ = gap_at(t_mid)
+            same = jnp.sign(gap_mid) == jnp.sign(gap_lo)
+            t_lo = jnp.where(same, t_mid, t_lo)
+            gap_lo = jnp.where(same, gap_mid, gap_lo)
+            t_hi = jnp.where(same, t_hi, t_mid)
+        t_hit = 0.5 * (t_lo + t_hi)
+
+        take = found & (t_hit > t_min) & (t_hit < best_t)
+        _, _, uv_hit, (b1, b2, h) = gap_at(t_hit)
+        # normal: finite-difference the displaced shell surface in (b1, b2)
+        eps = 1e-3
+
+        def surf(bb1, bb2):
+            w = 1.0 - bb1 - bb2
+            uv = w[:, None] * uv_a + bb1[:, None] * uv_b + bb2[:, None] * uv_c
+            hh = _height_field(geom, uv)
+            return shell_point(p_a, p_b, p_c, n_a, n_b, n_c, bb1, bb2, hh)
+
+        s0 = surf(b1, b2)
+        su = surf(b1 + eps, b2)
+        sv = surf(b1, b2 + eps)
+        nrm = jnp.cross(su - s0, sv - s0)
+        nrm = nrm / jnp.maximum(
+            jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+        nsh = ((1 - b1 - b2)[:, None] * n_a + b1[:, None] * n_b
+               + b2[:, None] * n_c)
+        nrm = nrm * jnp.sign(
+            jnp.sum(nrm * nsh, axis=-1, keepdims=True) + 1e-12)
+
+        best_prim = jnp.where(take, b, best_prim)
+        best_t = jnp.where(take, t_hit, best_t)
+        best_uv = jnp.where(take[:, None], uv_hit, best_uv)
+        best_pos = jnp.where(take[:, None], o + t_hit[:, None] * d, best_pos)
+        best_nrm = jnp.where(take[:, None], nrm, best_nrm)
+
+    return NRTDSMHit(
+        t=best_t, hit=best_prim >= 0, position=best_pos, normal=best_nrm,
+        uv=best_uv, prim=best_prim, steps=steps_total,
+    )
