@@ -20,6 +20,10 @@ def main(argv=None):
     p.add_argument("-no-temporal", action="store_true")
     p.add_argument("-no-spatial", action="store_true")
     p.add_argument("-no-reuse-visibility", action="store_true")
+    p.add_argument("-rearch", action="store_true",
+                   help="rearchitected pipeline (light presampling)")
+    p.add_argument("-light-subsets", type=int, default=128)
+    p.add_argument("-light-subset-size", type=int, default=1024)
     args = common.parse_scene_args(p, argv)
     from gfxexp_tpu.utils.runtime import enable_compile_cache
 
@@ -52,6 +56,9 @@ def main(argv=None):
         spatial_radius=args.spatial_radius,
         use_unbiased_estimator=args.unbiased,
         reuse_visibility=not args.no_reuse_visibility,
+        use_rearchitected_pipeline=args.rearch,
+        num_light_subsets=args.light_subsets,
+        light_subset_size=args.light_subset_size,
     )
 
     n = args.width * args.height

@@ -71,3 +71,21 @@ def render_sample_sharded(
         return out
 
     return tile_fn(scene, bvh, camera, jnp.asarray(sample_idx, jnp.uint32))
+
+
+def nrc_train_step_dp(mesh: Mesh, state, query, target, mask, nrc_cfg):
+    """Data-parallel NRC training over the mesh: batch sharded on AXIS,
+    parameters replicated — XLA inserts the gradient all-reduce (the
+    renderer's analogue of dp training; SURVEY.md §5 distributed backend).
+    Returns (new_state, loss)."""
+    from jax.sharding import NamedSharding
+
+    from gfxexp_tpu.techniques.nrc.network import train_step
+
+    batch_sharding = NamedSharding(mesh, P(AXIS))
+    replicated = NamedSharding(mesh, P())
+    query = jax.device_put(query, batch_sharding)
+    target = jax.device_put(target, batch_sharding)
+    mask = jax.device_put(mask, batch_sharding)
+    state = jax.device_put(state, replicated)
+    return train_step(state, query, target, mask, nrc_cfg)

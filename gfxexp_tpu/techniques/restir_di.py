@@ -58,6 +58,15 @@ class ReSTIRConfig:
     reuse_visibility: bool = True
     use_low_discrepancy_neighbors: bool = True
     use_mis_ris: bool = True  # reference: useMIS_RIS compile-time constant
+    # "Rearchitecting Spatiotemporal Resampling for Production" pipeline
+    # (reference: restir_di_shared.h:8-9 kNumLightSubsets=128 x 1024 presampled
+    # lights/frame, per_pixel_ris.cu, decoupled visibility + shading in
+    # optix_restir_di_rearch_kernels.cu). Here: presampled pool + per-8x8-tile
+    # subset candidate draws; the decoupled shadow/shade stays fused in the
+    # shading pass (one batched kernel already).
+    use_rearchitected_pipeline: bool = False
+    num_light_subsets: int = 128
+    light_subset_size: int = 1024
 
 
 @struct.dataclass
@@ -259,6 +268,74 @@ def initial_ris(scene, bvh, ctx: PixelCtx, pixel, frame_idx,
         rec_pdf = jnp.where(vis, rec_pdf, 0.0)
         selected_target = jnp.where(vis, selected_target, 0.0)
 
+    return res.replace(rec_pdf=rec_pdf, target=selected_target)
+
+
+def presample_lights(scene: SceneData, frame_idx, cfg: ReSTIRConfig):
+    """Per-frame light pre-sampling pool (reference: performLightPreSampling,
+    per_pixel_ris.cu:6 — kNumLightSubsets x kLightSubsetSize entries drawn
+    from the light hierarchy each frame). Returns SoA dict with rec_pdf =
+    1/p(light) so pool picks behave like hierarchy samples."""
+    n = cfg.num_light_subsets * cfg.light_subset_size
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    rs = SampleStream(lane, jnp.asarray(frame_idx, jnp.uint32), stream=0x9135)
+    u = rs.next()
+    u0, u1 = rs.next2()
+    ls = _sample_light_stratified(scene, u, u0, u1, PROB_SAMPLE_ENV)
+    rec_pdf = jnp.where(ls.pdf > 0.0, 1.0 / jnp.maximum(ls.pdf, 1e-30), 0.0)
+    return {
+        "pos": ls.position, "nrm": ls.normal, "emit": ls.emittance,
+        "at_inf": ls.at_infinity, "rec_pdf": rec_pdf,
+    }
+
+
+def initial_ris_presampled(scene, bvh, ctx: PixelCtx, pool, gb: GBuffer,
+                           pixel, frame_idx, cfg: ReSTIRConfig):
+    """Initial RIS drawing candidates from one presampled subset per 8x8
+    screen tile (reference: performPerPixelRIS, per_pixel_ris.cu:44)."""
+    h, w = gb.depth.shape
+    n = h * w
+    n_cand = 1 << cfg.log2_num_candidates
+    rs = SampleStream(pixel, jnp.asarray(frame_idx, jnp.uint32), stream=0x5152)
+    px = pixel.astype(jnp.int32) % w
+    py = pixel.astype(jnp.int32) // w
+    tile = (py // 8) * ((w + 7) // 8) + (px // 8)
+    # per-tile subset selection, rotated per frame (reference hashes tile +
+    # frame into the subset index)
+    from gfxexp_tpu.core.rng import pcg3d
+
+    sub_bits, _, _ = pcg3d(tile.astype(jnp.uint32),
+                           jnp.asarray(frame_idx, jnp.uint32), 77)
+    subset = (sub_bits % jnp.uint32(cfg.num_light_subsets)).astype(jnp.int32)
+
+    res = empty_reservoir(n)
+    selected_target = jnp.zeros((n,), jnp.float32)
+    for _ in range(n_cand):
+        u = rs.next()
+        slot = subset * cfg.light_subset_size + jnp.minimum(
+            (u * cfg.light_subset_size).astype(jnp.int32),
+            cfg.light_subset_size - 1)
+        p_pos = pool["pos"][slot]
+        p_nrm = pool["nrm"][slot]
+        p_emit = pool["emit"][slot]
+        p_inf = pool["at_inf"][slot]
+        p_rec = pool["rec_pdf"][slot]
+        cont = _unshadowed_contribution(ctx, p_pos, p_nrm, p_emit, p_inf)
+        target = _target_density(cont)
+        weight = target * p_rec
+        res, selected_target, _ = _reservoir_update(
+            res, p_pos, p_nrm, p_emit, p_inf, weight, rs.next(),
+            target, selected_target)
+
+    rec_pdf = res.sum_w / jnp.maximum(selected_target * res.stream_len, 1e-30)
+    bad = ~jnp.isfinite(rec_pdf) | (selected_target <= 0.0)
+    rec_pdf = jnp.where(bad, 0.0, rec_pdf)
+    selected_target = jnp.where(bad, 0.0, selected_target)
+    if cfg.reuse_visibility:
+        vis = _visibility(scene, bvh, ctx, res.pos, res.at_inf,
+                          ctx.valid & (selected_target > 0.0))
+        rec_pdf = jnp.where(vis, rec_pdf, 0.0)
+        selected_target = jnp.where(vis, selected_target, 0.0)
     return res.replace(rec_pdf=rec_pdf, target=selected_target)
 
 
@@ -544,7 +621,12 @@ def restir_di_frame(
     frame_idx = jnp.asarray(frame_idx, jnp.uint32)
     ctx = pixel_ctx(scene, gb, camera)
 
-    res = initial_ris(scene, bvh, ctx, pixel, frame_idx, cfg)
+    if cfg.use_rearchitected_pipeline:
+        pool = presample_lights(scene, frame_idx, cfg)
+        res = initial_ris_presampled(scene, bvh, ctx, pool, gb, pixel,
+                                     frame_idx, cfg)
+    else:
+        res = initial_ris(scene, bvh, ctx, pixel, frame_idx, cfg)
     if cfg.enable_temporal_reuse:
         res = temporal_reuse(
             scene, res, prev_reservoir, ctx, prev_ctx, gb,

@@ -129,3 +129,37 @@ def test_variance_reduction_vs_no_reuse():
                                         enable_spatial_reuse=False))
     sd_full = frame_stddev(ReSTIRConfig())
     assert sd_full < 0.7 * sd_none, (sd_full, sd_none)
+
+
+def test_rearchitected_pipeline_calibrated():
+    """The presampled-pool pipeline must agree with the classic pipeline in
+    expectation (reference: rearch kernels produce the same estimator)."""
+    from scenes import many_light_scene
+
+    scene, bvh = compile_scene(many_light_scene(n_lights=25))
+    cam = make_camera([0.0, 3.0, 6.0], fov_y=np.deg2rad(50), aspect=1.0,
+                      target=[0.0, 0.0, 0.0])
+    gb = render_gbuffer(scene, bvh, cam, cam, W, H, jnp.uint32(0),
+                        enable_jitter=False)
+    n = W * H
+
+    def run(cfg, frames=80):
+        res = empty_reservoir(n)
+        ctx = pixel_ctx(scene, gb, cam)
+        ph = gb.hit.reshape(n)
+        pp = gb.position.reshape(n, 3)
+        pn = gb.normal.reshape(n, 3)
+        acc = np.zeros((H, W, 3), np.float64)
+        for f in range(frames):
+            color, res, ctx = restir_di_frame(
+                scene, bvh, gb, cam, res, ctx, ph, pp, pn, jnp.uint32(f), cfg)
+            acc += np.asarray(color)
+        return acc / frames
+
+    base = dict(enable_temporal_reuse=False, enable_spatial_reuse=False,
+                reuse_visibility=False)
+    classic = run(ReSTIRConfig(**base))
+    rearch = run(ReSTIRConfig(**base, use_rearchitected_pipeline=True,
+                              num_light_subsets=16, light_subset_size=128))
+    rel = abs(rearch.mean() - classic.mean()) / classic.mean()
+    assert rel < 0.06, (rearch.mean(), classic.mean())
