@@ -101,11 +101,11 @@ def main():
 
     t0 = time.time()
     img, nrays = render_sample(scene, bvh, camera, WIDTH, HEIGHT, jnp.uint32(0), cfg)
-    img.block_until_ready()
+    np.asarray(img)
     compile_s = time.time() - t0
     for s in range(1, WARMUP_SAMPLES):
         img, nrays = render_sample(scene, bvh, camera, WIDTH, HEIGHT, jnp.uint32(s), cfg)
-    img.block_until_ready()
+    np.asarray(img)
 
     # accumulate through a device-side dependency chain: this runtime executes
     # independent programs concurrently, so blocking on the last output alone
@@ -120,11 +120,12 @@ def main():
         )
         acc = acc + img
         total_rays_dev = total_rays_dev + nrays
-    acc.block_until_ready()
-    total_rays_dev.block_until_ready()
+    # this runtime's block_until_ready can return before execution completes;
+    # a host copy is the only trustworthy fence
+    acc_host = np.asarray(acc)
+    total_rays = float(np.asarray(total_rays_dev))
     elapsed = time.time() - t0
-    total_rays = float(total_rays_dev)
-    img = acc / TIMED_SAMPLES
+    img = jnp.asarray(acc_host / TIMED_SAMPLES)
 
     mrays = total_rays / elapsed / 1e6
     sys.stderr.write(

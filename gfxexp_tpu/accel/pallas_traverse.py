@@ -32,9 +32,9 @@ from gfxexp_tpu.accel.skiplink import SkipBVH
 from gfxexp_tpu.accel.traverse import HitInfo
 from gfxexp_tpu.scene.types import TriangleSoA
 
-TILE = 1024  # rays per tile = one (8, 128) vreg set
-_SUB = 8
+TILE = 4096  # rays per tile (TILE/128 sublanes x 128 lanes per vreg group)
 _LANE = 128
+_SUB = TILE // _LANE
 
 
 def _node_tables(bvh: SkipBVH):
@@ -114,40 +114,50 @@ def _make_kernel(n_nodes: int, max_leaf: int, any_hit: bool):
             tile_hit = jnp.any(ray_hits)
 
             is_leaf = cnt > 0
-            base = jnp.where(is_leaf, fst, 0)
-            # leaf tests are unconditional + masked: a scalar branch here
-            # measured SLOWER than always paying the vector ops (TPU pipeline)
-            for j in range(max_leaf):
-                trow = tri_pack[pl.ds(base + j, 1), :]
-                p0x, p0y, p0z = trow[0, 0], trow[0, 1], trow[0, 2]
-                e1x, e1y, e1z = trow[0, 3], trow[0, 4], trow[0, 5]
-                e2x, e2y, e2z = trow[0, 6], trow[0, 7], trow[0, 8]
-                # pv = d x e2
-                pvx = dy * e2z - dz * e2y
-                pvy = dz * e2x - dx * e2z
-                pvz = dx * e2y - dy * e2x
-                det = e1x * pvx + e1y * pvy + e1z * pvz
-                det_ok = jnp.abs(det) > 1e-12
-                inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
-                tvx = ox - p0x
-                tvy = oy - p0y
-                tvz = oz - p0z
-                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                qvx = tvy * e1z - tvz * e1y
-                qvy = tvz * e1x - tvx * e1z
-                qvz = tvx * e1y - tvy * e1x
-                v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                ok = (
-                    tile_hit & is_leaf & (j < cnt) & ray_hits
-                    & det_ok
-                    & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                    & (t > tmin) & (t < best_t)
-                )
-                best_tri = jnp.where(ok, base + j, best_tri)
-                best_t = jnp.where(ok, t, best_t)
-                best_u = jnp.where(ok, u, best_u)
-                best_v = jnp.where(ok, v, best_v)
+
+            # leaf triangle tests behind a scalar branch: at large TILE the
+            # kernel is VPU-bound and skipping the ~max_leaf x 140 vector ops
+            # on internal-node steps wins (at TILE=1024 the branch lost to
+            # scalar-op latency — re-evaluate if TILE changes)
+            def leaf_fn(carry):
+                best_t, best_tri, best_u, best_v = carry
+                for j in range(max_leaf):
+                    trow = tri_pack[pl.ds(fst + j, 1), :]
+                    p0x, p0y, p0z = trow[0, 0], trow[0, 1], trow[0, 2]
+                    e1x, e1y, e1z = trow[0, 3], trow[0, 4], trow[0, 5]
+                    e2x, e2y, e2z = trow[0, 6], trow[0, 7], trow[0, 8]
+                    # pv = d x e2
+                    pvx = dy * e2z - dz * e2y
+                    pvy = dz * e2x - dx * e2z
+                    pvz = dx * e2y - dy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    det_ok = jnp.abs(det) > 1e-12
+                    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+                    tvx = ox - p0x
+                    tvy = oy - p0y
+                    tvz = oz - p0z
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                    ok = (
+                        (j < cnt) & ray_hits
+                        & det_ok
+                        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                        & (t > tmin) & (t < best_t)
+                    )
+                    best_tri = jnp.where(ok, fst + j, best_tri)
+                    best_t = jnp.where(ok, t, best_t)
+                    best_u = jnp.where(ok, u, best_u)
+                    best_v = jnp.where(ok, v, best_v)
+                return best_t, best_tri, best_u, best_v
+
+            best_t, best_tri, best_u, best_v = jax.lax.cond(
+                tile_hit & is_leaf, leaf_fn, lambda c: c,
+                (best_t, best_tri, best_u, best_v),
+            )
 
             nxt = jnp.where(tile_hit & (cnt == 0), cur + 1, skp)
             if any_hit:

@@ -72,6 +72,10 @@ class PTConfig:
     russian_roulette: bool = True
     count_rays: bool = False  # also return the number of rays actually traced
     enable_bump_mapping: bool = False  # reference: plp.f->enableBumpMapping
+    # sort secondary rays by direction octant before traversal — tightens the
+    # per-tile union footprint of the tile-shared traverser (SURVEY.md §7
+    # "ray sorting/binning for coherence")
+    sort_secondary_rays: bool = False
 
     @property
     def use_mis(self):
@@ -140,6 +144,28 @@ def compute_surface_point(scene: SceneData, tri_idx, u, v) -> SurfacePoint:
         material=mat,
         emittance=emit,
     )
+
+
+def _intersect_closest_sorted(bvh, tris, ray_o, ray_d, alive):
+    """Closest hit with direction-octant ray sorting: bounce rays are
+    incoherent in pixel order, which blows up the tile-shared traverser's
+    union footprint; grouping by octant (dead lanes sorted last with
+    zero-work tmax) restores coherence. One argsort + two gathers."""
+    from gfxexp_tpu.accel.traverse import HitInfo
+
+    key = (
+        (ray_d[:, 0] >= 0).astype(jnp.int32)
+        + 2 * (ray_d[:, 1] >= 0).astype(jnp.int32)
+        + 4 * (ray_d[:, 2] >= 0).astype(jnp.int32)
+    )
+    key = jnp.where(alive, key, 8)  # dead lanes grouped at the end
+    perm = jnp.argsort(key)
+    inv = jnp.argsort(perm)
+    t_max = jnp.where(alive[perm], 1e30, -1.0)  # dead lanes: no traversal
+    hit = intersect_closest(bvh, tris, ray_o[perm], ray_d[perm],
+                            t_min=0.0, t_max=t_max)
+    return HitInfo(t=hit.t[inv], tri=hit.tri[inv], u=hit.u[inv],
+                   v=hit.v[inv], hit=hit.hit[inv])
 
 
 def _next_event(scene, bvh, sp: SurfacePoint, v_out_local, frame, params, rs,
@@ -242,8 +268,12 @@ def render_lanes(
         rs = SampleStream(pixel, sample_idx, stream=bounce)
         if cfg.count_rays:
             rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
-        hit = intersect_closest(bvh, scene.triangles, ray_o, ray_d,
-                                t_min=0.0, t_max=1e30)
+        if cfg.sort_secondary_rays and bounce > 1:
+            hit = _intersect_closest_sorted(bvh, scene.triangles, ray_o,
+                                            ray_d, alive)
+        else:
+            hit = intersect_closest(bvh, scene.triangles, ray_o, ray_d,
+                                    t_min=0.0, t_max=1e30)
         hit_ok = alive & hit.hit
         miss = alive & ~hit.hit
 
