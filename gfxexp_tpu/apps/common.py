@@ -44,7 +44,9 @@ def make_arg_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("-cam-pos", type=float, nargs=3, default=[0.0, 0.0, 3.16])
     p.add_argument("-cam-roll", type=float, default=0.0)
     p.add_argument("-cam-pitch", type=float, default=0.0)
-    p.add_argument("-cam-yaw", type=float, default=0.0)
+    p.add_argument("-cam-yaw", type=float, default=180.0,
+                   help="default 180: identity orientation looks +z, scenes "
+                        "sit toward -z (reference convention)")
     p.add_argument("-fov", type=float, default=50.0, help="vertical fov (deg)")
     p.add_argument("-brightness", type=float, default=1.0)
     p.add_argument("-env-texture", type=str, default=None)
@@ -215,7 +217,12 @@ class PassTimer:
         try:
             import jax
 
-            jax.block_until_ready(out)
+            # block_until_ready can return early on this TPU runtime; a host
+            # copy of one output leaf is a real fence (one executable's
+            # outputs complete together)
+            leaves = jax.tree_util.tree_leaves(out)
+            if leaves:
+                np.asarray(leaves[0])
         except Exception:
             pass
         dt = (time.time() - t0) * 1000.0

@@ -83,6 +83,33 @@ def main(argv=None):
             print(f"frame {f + 1}/{args.frames}: {timer.report()}, "
                   f"loss {float(loss):.4f}", file=sys.stderr)
 
+    if args.visualize_cache:
+        # render the raw cache prediction at primary hits (reference:
+        # visualizePrediction entry point, optix_pathtracing_kernels.cu:702)
+        from gfxexp_tpu.render.gbuffer import render_gbuffer
+        from gfxexp_tpu.render.bsdf import material_params_textured
+        from gfxexp_tpu.techniques.nrc import infer
+        from gfxexp_tpu.techniques.nrc.cache import make_query, _query_ref_factor
+
+        gb = render_gbuffer(scene, bvh, camera, camera, args.width,
+                            args.height, jnp.uint32(0), False)
+        n = args.width * args.height
+        pos = gb.position.reshape(n, 3)
+        nrm = gb.normal.reshape(n, 3)
+        vout = -gb.view_dir.reshape(n, 3)
+        mat = jnp.maximum(gb.material.reshape(n), 0)
+        params = material_params_textured(
+            scene.materials, scene.textures, mat, gb.texcoord.reshape(n, 2))
+        q = make_query(lo, hi, pos, nrm, vout, params)
+        pred = jnp.maximum(infer(state, q, nrc_cfg), 0.0)
+        pred = pred * _query_ref_factor(q)
+        pred = jnp.where(gb.hit.reshape(n)[:, None], pred, 0.0)
+        from gfxexp_tpu.utils.image_io import save_png
+
+        vis = np.asarray(pred).reshape(args.height, args.width, 3)
+        save_png(args.output + "_cache.png", vis / (1.0 + vis))
+        print(f"wrote {args.output}_cache.png", file=sys.stderr)
+
     common.save_outputs(args, np.asarray(film.beauty))
     if args.checkpoint:
         from gfxexp_tpu.utils.checkpoint import save_checkpoint
