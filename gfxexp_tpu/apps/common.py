@@ -18,9 +18,8 @@ from __future__ import annotations
 import argparse
 import math
 import os
-import sys
 import time
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

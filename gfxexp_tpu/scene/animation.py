@@ -16,8 +16,7 @@ jitted; a frame of animation never leaves the device.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

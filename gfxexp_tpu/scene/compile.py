@@ -9,9 +9,6 @@ SoA arrays are permuted to match and the light tables keep an indirection
 
 from __future__ import annotations
 
-from typing import Tuple
-
-import jax.numpy as jnp
 import numpy as np
 
 from gfxexp_tpu.accel.bvh_build import BVH, build_bvh
