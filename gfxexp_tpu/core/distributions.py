@@ -207,3 +207,82 @@ def continuous_2d_pdf(dist: Continuous2D, u, v):
     col = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
     row = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
     return dist.pdf[row, col]
+
+
+# ---------------------------------------------------------------------------
+# hierarchical probability texture (reference: ProbabilityTexture,
+# common_shared.h:406 — mip-descent sampling, the USE_PROBABILITY_TEXTURE
+# alternative to CDF binary search; O(num mips) per sample)
+# ---------------------------------------------------------------------------
+
+
+class ProbabilityTexture(NamedTuple):
+    """Power-of-two 2D weight image + its sum-mip pyramid, sampled by quad
+    descent. levels[l] is [S>>l, S>>l] stored padded in one [L, S, S] array."""
+
+    levels: jnp.ndarray  # [L, S, S]
+    integral: jnp.ndarray  # []
+    size: int
+    n_levels: int
+
+
+def build_probability_texture(weights) -> ProbabilityTexture:
+    import numpy as _np
+
+    w = _np.maximum(_np.asarray(weights, _np.float64), 0.0)
+    s = w.shape[0]
+    assert w.shape == (s, s) and (s & (s - 1)) == 0, "square pow2"
+    levels = [w]
+    while levels[-1].shape[0] > 1:
+        m = levels[-1]
+        levels.append(m[0::2, 0::2] + m[1::2, 0::2] + m[0::2, 1::2] + m[1::2, 1::2])
+    n = len(levels)
+    padded = _np.zeros((n, s, s), _np.float64)
+    for l, lv in enumerate(levels):
+        padded[l, : lv.shape[0], : lv.shape[1]] = lv
+    return ProbabilityTexture(
+        levels=jnp.asarray(padded, jnp.float32),
+        integral=jnp.float32(levels[-1][0, 0]),
+        size=s,
+        n_levels=n,
+    )
+
+
+def sample_probability_texture(pt: ProbabilityTexture, u0, u1):
+    """Mip descent: at each level pick one of the 4 children proportionally,
+    re-using the remapped uniforms. Returns (ix, iy, pmf) — texel indices in
+    the finest level and its normalized probability."""
+    ix = jnp.zeros(jnp.shape(u0), jnp.int32)
+    iy = jnp.zeros(jnp.shape(u0), jnp.int32)
+    for level in range(pt.n_levels - 2, -1, -1):
+        x0 = 2 * ix
+        y0 = 2 * iy
+        w00 = pt.levels[level, y0, x0]
+        w10 = pt.levels[level, y0, x0 + 1]
+        w01 = pt.levels[level, y0 + 1, x0]
+        w11 = pt.levels[level, y0 + 1, x0 + 1]
+        total = jnp.maximum(w00 + w10 + w01 + w11, 1e-30)
+        # descend on x first (left column prob), then y within the column
+        p_left = (w00 + w01) / total
+        go_right = u0 >= p_left
+        u0 = jnp.where(go_right,
+                       (u0 - p_left) / jnp.maximum(1.0 - p_left, 1e-20),
+                       u0 / jnp.maximum(p_left, 1e-20))
+        u0 = jnp.clip(u0, 0.0, 1.0 - 1e-7)
+        top = jnp.where(go_right, w10, w00)
+        bot = jnp.where(go_right, w11, w01)
+        col = jnp.maximum(top + bot, 1e-30)
+        p_top = top / col
+        go_down = u1 >= p_top
+        u1 = jnp.where(go_down,
+                       (u1 - p_top) / jnp.maximum(1.0 - p_top, 1e-20),
+                       u1 / jnp.maximum(p_top, 1e-20))
+        u1 = jnp.clip(u1, 0.0, 1.0 - 1e-7)
+        ix = x0 + go_right.astype(jnp.int32)
+        iy = y0 + go_down.astype(jnp.int32)
+    pmf = pt.levels[0, iy, ix] / jnp.maximum(pt.integral, 1e-30)
+    return ix, iy, pmf
+
+
+def probability_texture_pmf(pt: ProbabilityTexture, ix, iy):
+    return pt.levels[0, iy, ix] / jnp.maximum(pt.integral, 1e-30)

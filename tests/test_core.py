@@ -128,3 +128,27 @@ def test_power_heuristic():
     assert np.allclose(float(a), 0.5)
     b = gm.power_heuristic(jnp.asarray(0.0), jnp.asarray(0.0))
     assert np.isfinite(float(b))
+
+
+def test_probability_texture_sampling():
+    """Mip-descent sampling must reproduce texel probabilities
+    (reference: ProbabilityTexture, common_shared.h:406)."""
+    w = np.zeros((8, 8), np.float32)
+    w[1, 2] = 4.0
+    w[6, 5] = 1.0
+    w[3, 3] = 3.0
+    ptex = dist.build_probability_texture(w)
+    assert abs(float(ptex.integral) - 8.0) < 1e-5
+    i = jnp.arange(80000, dtype=jnp.uint32)
+    u0 = rng.bits_to_unit_float(rng.pcg3d(i, 0, 0)[0])
+    u1 = rng.bits_to_unit_float(rng.pcg3d(i, 1, 0)[0])
+    ix, iy, pmf = dist.sample_probability_texture(ptex, u0, u1)
+    ix, iy = np.asarray(ix), np.asarray(iy)
+    for (y, x, expect) in ((1, 2, 0.5), (6, 5, 0.125), (3, 3, 0.375)):
+        frac = ((iy == y) & (ix == x)).mean()
+        assert abs(frac - expect) < 0.01, (y, x, frac, expect)
+    assert np.allclose(np.asarray(pmf),
+                       w[iy, ix] / 8.0, atol=1e-6)
+    # pdf eval path agrees
+    pmf2 = dist.probability_texture_pmf(ptex, jnp.asarray(ix), jnp.asarray(iy))
+    assert np.allclose(np.asarray(pmf2), np.asarray(pmf))
