@@ -1,0 +1,130 @@
+"""Curve primitive evaluators: position/derivative/normal along swept-sphere
+curve segments.
+
+Reference: common/curve_evaluator.h (379 LoC, device) — evaluators for the
+OptiX curve primitive types: linear, quadratic B-spline, cubic B-spline,
+Catmull-Rom, Bezier (curve::Evaluator:309). Here the evaluators are batched
+jnp functions over [N, K, 3] control points + [N] radii-interpolating curves;
+the round-1 renderer tessellates curves into triangles at scene build
+(scene/builder — createLinearSegmentsGeometryInstance counterpart) and these
+evaluators provide the exact positions/frames for that tessellation and for
+shading normals."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+CURVE_LINEAR = "linear"
+CURVE_QUADRATIC_BSPLINE = "quadratic_bspline"
+CURVE_CUBIC_BSPLINE = "cubic_bspline"
+CURVE_CATMULL_ROM = "catmull_rom"
+CURVE_BEZIER = "bezier"
+
+
+def _basis(curve_type: str):
+    """Power-basis matrix B such that p(t) = [1 t t^2 t^3] @ B @ P for the
+    4-point types, or the 3/2-point equivalents."""
+    if curve_type == CURVE_LINEAR:
+        return np.array([[1.0, 0.0], [-1.0, 1.0]])
+    if curve_type == CURVE_QUADRATIC_BSPLINE:
+        return 0.5 * np.array([[1, 1, 0], [-2, 2, 0], [1, -2, 1]], np.float64)
+    if curve_type == CURVE_CUBIC_BSPLINE:
+        return (1.0 / 6.0) * np.array(
+            [[1, 4, 1, 0], [-3, 0, 3, 0], [3, -6, 3, 0], [-1, 3, -3, 1]],
+            np.float64)
+    if curve_type == CURVE_CATMULL_ROM:
+        return 0.5 * np.array(
+            [[0, 2, 0, 0], [-1, 0, 1, 0], [2, -5, 4, -1], [-1, 3, -3, 1]],
+            np.float64)
+    if curve_type == CURVE_BEZIER:
+        return np.array(
+            [[1, 0, 0, 0], [-3, 3, 0, 0], [3, -6, 3, 0], [-1, 3, -3, 1]],
+            np.float64)
+    raise ValueError(curve_type)
+
+
+def evaluate(curve_type: str, control_points, t, radii=None):
+    """Position (and radius) at parameter t.
+
+    control_points: [..., K, 3] with K = 2 (linear), 3 (quadratic) or 4;
+    t: [...]; radii: optional [..., K]. Returns (position [..., 3],
+    radius [...] or None)."""
+    b = jnp.asarray(_basis(curve_type), jnp.float32)
+    k = b.shape[0]
+    powers = jnp.stack([t**i for i in range(k)], axis=-1)  # [..., K]
+    coeff = powers @ b  # [..., K] weights over control points
+    pos = jnp.einsum("...k,...kd->...d", coeff, control_points)
+    rad = None
+    if radii is not None:
+        rad = jnp.einsum("...k,...k->...", coeff, radii)
+    return pos, rad
+
+
+def evaluate_derivative(curve_type: str, control_points, t):
+    """dP/dt at parameter t — the curve tangent (unnormalized)."""
+    b = jnp.asarray(_basis(curve_type), jnp.float32)
+    k = b.shape[0]
+    dpow = jnp.stack(
+        [jnp.zeros_like(t) if i == 0 else i * t ** (i - 1) for i in range(k)],
+        axis=-1)
+    coeff = dpow @ b
+    return jnp.einsum("...k,...kd->...d", coeff, control_points)
+
+
+def surface_normal(curve_type: str, control_points, t, hit_point, radii=None):
+    """Swept-sphere curve surface normal at a hit point (reference:
+    calcCurveSurfaceNormal, common_device.cuh:247): the component of
+    (hit - axisPos) orthogonal to the tangent."""
+    pos, _ = evaluate(curve_type, control_points, t, radii)
+    tang = evaluate_derivative(curve_type, control_points, t)
+    tang = tang / jnp.maximum(
+        jnp.linalg.norm(tang, axis=-1, keepdims=True), 1e-20)
+    rel = hit_point - pos
+    n = rel - jnp.sum(rel * tang, axis=-1, keepdims=True) * tang
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+
+
+def tessellate_curve(curve_type: str, control_points: np.ndarray,
+                     radii: np.ndarray, n_axial: int = 8, n_radial: int = 8):
+    """Host-side tube tessellation of one curve segment into triangles —
+    the round-1 rendering path for curve geometry (the reference renders
+    curves with hardware OptiX curve intersectors; a direct ray-vs-swept-
+    sphere Pallas intersector is a planned extension). Returns
+    (positions [V,3], normals [V,3], indices [F,3])."""
+    import numpy as _np
+
+    cp = jnp.asarray(control_points, jnp.float32)[None]
+    rr = jnp.asarray(radii, jnp.float32)[None]
+    ts = _np.linspace(0.0, 1.0, n_axial + 1).astype(_np.float32)
+    verts, norms = [], []
+    for t in ts:
+        tj = jnp.asarray([t])
+        pos, rad = evaluate(curve_type, cp, tj, rr)
+        tang = evaluate_derivative(curve_type, cp, tj)
+        pos = _np.asarray(pos)[0]
+        r = float(_np.asarray(rad)[0])
+        tg = _np.asarray(tang)[0]
+        tn = tg / max(_np.linalg.norm(tg), 1e-20)
+        # stable frame about the tangent
+        up = _np.array([0.0, 1.0, 0.0]) if abs(tn[1]) < 0.9 else _np.array(
+            [1.0, 0.0, 0.0])
+        b1 = _np.cross(tn, up)
+        b1 /= max(_np.linalg.norm(b1), 1e-20)
+        b2 = _np.cross(tn, b1)
+        for a in range(n_radial):
+            ang = 2 * _np.pi * a / n_radial
+            nrm = _np.cos(ang) * b1 + _np.sin(ang) * b2
+            verts.append(pos + r * nrm)
+            norms.append(nrm)
+    idx = []
+    for i in range(n_axial):
+        for a in range(n_radial):
+            v00 = i * n_radial + a
+            v01 = i * n_radial + (a + 1) % n_radial
+            v10 = (i + 1) * n_radial + a
+            v11 = (i + 1) * n_radial + (a + 1) % n_radial
+            idx.append([v00, v10, v01])
+            idx.append([v01, v10, v11])
+    return (_np.asarray(verts, _np.float32), _np.asarray(norms, _np.float32),
+            _np.asarray(idx, _np.int32))

@@ -239,6 +239,20 @@ class SceneBuilder:
         )
         return len(self.geometries) - 1
 
+    def add_curve(self, control_points, radii, material,
+                  curve_type: str = "cubic_bspline",
+                  n_axial: int = 8, n_radial: int = 8) -> int:
+        """Swept-sphere curve segment, tessellated into a tube (reference:
+        createLinearSegmentsGeometryInstance + curve primitive support,
+        common_host.cpp:1999 / curve_evaluator.h; exact evaluators in
+        core/curves.py)."""
+        from gfxexp_tpu.core.curves import tessellate_curve
+
+        v, n, f = tessellate_curve(
+            curve_type, np.asarray(control_points, np.float32),
+            np.asarray(radii, np.float32), n_axial=n_axial, n_radial=n_radial)
+        return self.add_geometry(v, f, material, normals=n)
+
     # -- instances ---------------------------------------------------------
 
     def add_instance(

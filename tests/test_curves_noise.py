@@ -1,0 +1,95 @@
+"""Curve evaluator + Perlin noise tests (reference: curve_evaluator.h,
+common_shared.h PerlinNoise)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gfxexp_tpu.core.curves import (
+    CURVE_BEZIER,
+    CURVE_CATMULL_ROM,
+    CURVE_CUBIC_BSPLINE,
+    CURVE_LINEAR,
+    CURVE_QUADRATIC_BSPLINE,
+    evaluate,
+    evaluate_derivative,
+    surface_normal,
+    tessellate_curve,
+)
+from gfxexp_tpu.core.noise import multi_octave_perlin3d, perlin3d
+
+
+def test_linear_curve():
+    cp = jnp.asarray([[[0.0, 0, 0], [2.0, 0, 0]]])
+    pos, rad = evaluate(CURVE_LINEAR, cp, jnp.asarray([0.25]),
+                        radii=jnp.asarray([[0.1, 0.3]]))
+    assert np.allclose(np.asarray(pos), [[0.5, 0, 0]], atol=1e-6)
+    assert np.allclose(np.asarray(rad), [0.15], atol=1e-6)
+
+
+def test_bezier_endpoints_and_tangent():
+    cp = jnp.asarray([[[0.0, 0, 0], [0, 1, 0], [1, 1, 0], [1.0, 0, 0]]])
+    p0, _ = evaluate(CURVE_BEZIER, cp, jnp.asarray([0.0]))
+    p1, _ = evaluate(CURVE_BEZIER, cp, jnp.asarray([1.0]))
+    assert np.allclose(np.asarray(p0), [[0, 0, 0]], atol=1e-6)
+    assert np.allclose(np.asarray(p1), [[1, 0, 0]], atol=1e-6)
+    d0 = evaluate_derivative(CURVE_BEZIER, cp, jnp.asarray([0.0]))
+    # Bezier derivative at 0 = 3 (P1 - P0)
+    assert np.allclose(np.asarray(d0), [[0, 3, 0]], atol=1e-5)
+
+
+def test_bspline_partition_of_unity():
+    """B-spline bases sum to 1: constant control points stay constant."""
+    for ct, k in ((CURVE_QUADRATIC_BSPLINE, 3), (CURVE_CUBIC_BSPLINE, 4),
+                  (CURVE_CATMULL_ROM, 4)):
+        cp = jnp.broadcast_to(jnp.asarray([1.0, 2.0, 3.0]), (1, k, 3))
+        for t in (0.0, 0.3, 0.7, 1.0):
+            pos, _ = evaluate(ct, cp, jnp.asarray([t]))
+            assert np.allclose(np.asarray(pos), [[1, 2, 3]], atol=1e-5), ct
+
+
+def test_catmull_rom_interpolates():
+    """Catmull-Rom passes through P1 at t=0 and P2 at t=1."""
+    cp = jnp.asarray([[[0.0, 0, 0], [1, 1, 0], [2, 0, 0], [3, 2, 0]]])
+    p0, _ = evaluate(CURVE_CATMULL_ROM, cp, jnp.asarray([0.0]))
+    p1, _ = evaluate(CURVE_CATMULL_ROM, cp, jnp.asarray([1.0]))
+    assert np.allclose(np.asarray(p0), [[1, 1, 0]], atol=1e-5)
+    assert np.allclose(np.asarray(p1), [[2, 0, 0]], atol=1e-5)
+
+
+def test_surface_normal_orthogonal_to_tangent():
+    cp = jnp.asarray([[[0.0, 0, 0], [0, 1, 0], [1, 1, 0], [1.0, 0, 0]]])
+    t = jnp.asarray([0.4])
+    pos, _ = evaluate(CURVE_BEZIER, cp, t)
+    hit = pos + jnp.asarray([[0.0, 0.0, 0.25]])
+    n = surface_normal(CURVE_BEZIER, cp, t, hit)
+    tang = evaluate_derivative(CURVE_BEZIER, cp, t)
+    assert abs(float(jnp.sum(n * tang))) < 1e-4
+    assert np.allclose(np.linalg.norm(np.asarray(n)), 1.0, atol=1e-5)
+
+
+def test_tessellation_closed_tube():
+    cp = np.array([[0, 0, 0], [0, 1, 0], [1, 1, 0], [1, 0, 0]], np.float32)
+    radii = np.array([0.1, 0.15, 0.15, 0.1], np.float32)
+    v, n, f = tessellate_curve(CURVE_BEZIER, cp, radii, n_axial=6, n_radial=6)
+    assert v.shape[0] == 7 * 6 and f.shape[0] == 6 * 6 * 2
+    assert np.allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-5)
+    # tube vertices lie at the expected radius from the axis
+    pos0, rad0 = evaluate(CURVE_BEZIER, jnp.asarray(cp)[None],
+                          jnp.asarray([0.0]), jnp.asarray(radii)[None])
+    d = np.linalg.norm(v[:6] - np.asarray(pos0)[0], axis=-1)
+    assert np.allclose(d, float(rad0[0]), atol=1e-5)
+
+
+def test_perlin_properties(rng_np):
+    p = jnp.asarray(rng_np.uniform(-10, 10, (5000, 3)), jnp.float32)
+    n = np.asarray(perlin3d(p))
+    assert np.abs(n).max() <= 1.5
+    assert abs(n.mean()) < 0.05
+    assert n.std() > 0.05  # actually varies
+    # lattice points have zero noise (classic Perlin property)
+    lattice = jnp.asarray(rng_np.integers(-5, 5, (64, 3)), jnp.float32)
+    assert np.allclose(np.asarray(perlin3d(lattice)), 0.0, atol=1e-6)
+    # deterministic
+    assert np.allclose(np.asarray(perlin3d(p)), n)
+    m = np.asarray(multi_octave_perlin3d(p, num_octaves=4))
+    assert np.isfinite(m).all() and abs(m.mean()) < 0.05
