@@ -76,6 +76,9 @@ class PTConfig:
     # per-tile union footprint of the tile-shared traverser (SURVEY.md §7
     # "ray sorting/binning for coherence")
     sort_secondary_rays: bool = False
+    # solid-angle triangle sampling for NEE (reference:
+    # useSolidAngleSampling, off by default like the reference)
+    use_solid_angle_sampling: bool = False
 
     @property
     def use_mis(self):
@@ -176,7 +179,12 @@ def _next_event(scene, bvh, sp: SurfacePoint, v_out_local, frame, params, rs,
     t, b, n = frame
     u_light = rs.next()
     u0, u1 = rs.next2()
-    ls = sample_light(scene, u_light, u0, u1)
+    if cfg.use_solid_angle_sampling:
+        from gfxexp_tpu.scene.lights import sample_light_solid_angle
+
+        ls = sample_light_solid_angle(scene, sp.position, u_light, u0, u1)
+    else:
+        ls = sample_light(scene, u_light, u0, u1)
 
     shadow_vec = jnp.where(
         ls.at_infinity[..., None], ls.position, ls.position - sp.position

@@ -200,7 +200,8 @@ class SceneBuilder:
         )
         normals = np.tile(np.array([[0, 1, 0]], np.float32), (4, 1))
         texcoords = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32)
-        indices = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        # winding chosen so cross(e1, e2) == +Y == the shading normal
+        indices = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
         self.geometries.append(
             HostGeometry(positions, normals, texcoords, indices, int(material))
         )

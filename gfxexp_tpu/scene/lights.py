@@ -166,6 +166,113 @@ def sample_surface_light(scene: SceneData, u_sel, u0, u1) -> LightSample:
     )
 
 
+def sample_surface_light_solid_angle(scene: SceneData, shading_point,
+                                     u_sel, u0, u1) -> LightSample:
+    """Uniform sampling in the solid angle subtended by the chosen triangle
+    (reference: sampleLight's useSolidAngleSampling branch,
+    path_tracing_shared.h:330-400 — Arvo's spherical triangle sampling with
+    barycentric restoration; the returned pdf is converted to the area
+    measure so it composes with the rest of the light machinery)."""
+    tris = scene.triangles
+    units = scene.units
+
+    unit = jnp.clip(
+        jnp.searchsorted(scene.light_unit_cdf, u_sel, side="right") - 1,
+        0, scene.num_units - 1)
+    unit_pmf = scene.light_unit_pmf[unit]
+    lo = scene.light_unit_cdf[unit]
+    width = scene.light_unit_cdf[unit + 1] - lo
+    u_tri = jnp.clip(
+        jnp.where(width > 0, (u_sel - lo) / jnp.where(width > 0, width, 1.0), 0.0),
+        0.0, 1.0 - 1e-7)
+    offset = units.tri_offset[unit]
+    count = units.tri_count[unit]
+    local = _segment_searchsorted(units.light_tri_cdf, offset, count, u_tri)
+    tri = units.light_tri_index[offset + local]
+    tri_pmf = units.light_tri_pmf[tri]
+    light_prob = unit_pmf * tri_pmf
+
+    p_a = tris.p0[tri]
+    p_b = p_a + tris.e1[tri]
+    p_c = p_a + tris.e2[tri]
+    geom_n = jnp.cross(p_b - p_a, p_c - p_a)
+
+    def norm(v):
+        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+
+    a = norm(p_a - shading_point)
+    b = norm(p_b - shading_point)
+    c = norm(p_c - shading_point)
+    c_ab = norm(jnp.cross(a, b))
+    c_bc = norm(jnp.cross(b, c))
+    c_ca = norm(jnp.cross(c, a))
+    cos_c = jnp.sum(a * b, axis=-1)
+    cos_alpha = -jnp.sum(c_ab * c_ca, axis=-1)
+    cos_beta = -jnp.sum(c_bc * c_ab, axis=-1)
+    cos_gamma = -jnp.sum(c_ca * c_bc, axis=-1)
+    alpha = jnp.arccos(jnp.clip(cos_alpha, -1.0, 1.0))
+    sin_alpha = jnp.sqrt(jnp.maximum(1.0 - cos_alpha**2, 0.0))
+    sph_area = (alpha + jnp.arccos(jnp.clip(cos_beta, -1.0, 1.0))
+                + jnp.arccos(jnp.clip(cos_gamma, -1.0, 1.0)) - _PI)
+
+    def project(va, vb):
+        return norm(va - jnp.sum(va * vb, axis=-1, keepdims=True) * vb)
+
+    area_hat = sph_area * u0
+    s = jnp.sin(area_hat - alpha)
+    t = jnp.cos(area_hat - alpha)
+    uu = t - cos_alpha
+    vv = s + sin_alpha * cos_c
+    denom = (vv * s + uu * t) * sin_alpha
+    q = jnp.where(jnp.abs(denom) > 1e-12,
+                  ((vv * t - uu * s) * cos_alpha - vv)
+                  / jnp.where(denom == 0, 1.0, denom), 0.0)
+    q = jnp.clip(q, -1.0, 1.0)
+    c_hat = q[..., None] * a + jnp.sqrt(jnp.maximum(1 - q**2, 0.0))[..., None] * project(c, a)
+    z = 1.0 - u1 * (1.0 - jnp.sum(c_hat * b, axis=-1))
+    z = jnp.clip(z, -1.0, 1.0)
+    direction = (z[..., None] * b
+                 + jnp.sqrt(jnp.maximum(1 - z**2, 0.0))[..., None]
+                 * project(c_hat, b))
+
+    # restore barycentrics by intersecting the sampled direction with the
+    # triangle plane (reference: restoreBarycentrics lambda)
+    e_ab = p_b - p_a
+    e_ac = p_c - p_a
+    pv = jnp.cross(direction, e_ac)
+    det = jnp.sum(e_ab * pv, axis=-1)
+    rec_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+    tv = shading_point - p_a
+    bc_b = jnp.sum(tv * pv, axis=-1) * rec_det
+    qv = jnp.cross(tv, e_ab)
+    bc_c = jnp.sum(direction * qv, axis=-1) * rec_det
+    dist = jnp.sum(e_ac * qv, axis=-1) * rec_det
+    bc_a = 1.0 - bc_b - bc_c
+    position = (bc_a[..., None] * p_a + bc_b[..., None] * p_b
+                + bc_c[..., None] * p_c)
+
+    gn = norm(geom_n)
+    dir_pdf = jnp.where(sph_area > 1e-8, 1.0 / jnp.maximum(sph_area, 1e-8), 0.0)
+    lp_cos = -jnp.sum(direction * gn, axis=-1)
+    pdf = jnp.where(
+        (lp_cos > 0.0) & jnp.isfinite(dir_pdf) & (dist > 0.0),
+        light_prob * dir_pdf * lp_cos / jnp.maximum(dist**2, 1e-12),
+        0.0,
+    )
+
+    n0, n1, n2 = tris.n0[tri], tris.n1[tri], tris.n2[tri]
+    normal = norm(bc_a[..., None] * n0 + bc_b[..., None] * n1
+                  + bc_c[..., None] * n2)
+    mat = units.material[unit]
+    return LightSample(
+        position=position,
+        normal=normal,
+        emittance=scene.materials.emittance[mat],
+        pdf=pdf,
+        at_infinity=jnp.zeros(pdf.shape, bool),
+    )
+
+
 def sample_env_light(scene: SceneData, u0, u1) -> LightSample:
     env = scene.env
     u, v, uv_pdf = sample_continuous_2d(env.importance, u1, u0)
@@ -215,6 +322,44 @@ def sample_light(scene: SceneData, u_light, u0, u1) -> LightSample:
         while mask.ndim < e.ndim:
             mask = mask[..., None]
         return jnp.where(mask, e, s)
+
+    pdf = jnp.where(
+        pick_env,
+        envs.pdf * p_env,
+        jnp.where(surface_ok, surf.pdf * (1.0 - p_env), 0.0),
+    )
+    return LightSample(
+        position=sel(envs.position, surf.position),
+        normal=sel(envs.normal, surf.normal),
+        emittance=sel(envs.emittance, surf.emittance),
+        pdf=pdf,
+        at_infinity=pick_env,
+    )
+
+
+def sample_light_solid_angle(scene: SceneData, shading_point, u_light, u0,
+                             u1) -> LightSample:
+    """sample_light with the solid-angle surface strategy (reference:
+    useSolidAngleSampling variant)."""
+    surface_ok = scene.total_emissive_importance > 0.0
+    if scene.env is None:
+        surf = sample_surface_light_solid_angle(scene, shading_point,
+                                                u_light, u0, u1)
+        return surf.replace(pdf=jnp.where(surface_ok, surf.pdf, 0.0))
+    p_env = jnp.where(surface_ok, PROB_SAMPLE_ENV, 1.0) * jnp.where(
+        scene.env.enabled, 1.0, 0.0)
+    pick_env = u_light < p_env
+    u_surf = jnp.clip(
+        (u_light - p_env) / jnp.maximum(1.0 - p_env, 1e-8), 0.0, 1.0 - 1e-7)
+    surf = sample_surface_light_solid_angle(scene, shading_point, u_surf,
+                                            u0, u1)
+    envs = sample_env_light(scene, u0, u1)
+
+    def sel(e, s):
+        m = pick_env
+        while m.ndim < e.ndim:
+            m = m[..., None]
+        return jnp.where(m, e, s)
 
     pdf = jnp.where(
         pick_env,

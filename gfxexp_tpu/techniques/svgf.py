@@ -30,6 +30,23 @@ from gfxexp_tpu.render.gbuffer import GBuffer
 _EPS = 1e-6
 
 
+ATROUS_BOX3 = "box3x3"
+ATROUS_GAUSS3 = "gauss3x3"
+ATROUS_GAUSS5 = "gauss5x5"
+
+# kernel taps: (dy, dx, weight) lists (reference: ATrousKernel templates,
+# svgf.cu:137-227)
+_G3 = {0: 0.25, 1: 0.125, -1: 0.125}  # 1D [1/4, 1/2, 1/4] split per axis
+_G5 = {0: 6 / 16, 1: 4 / 16, -1: 4 / 16, 2: 1 / 16, -2: 1 / 16}
+_ATROUS_KERNELS = {
+    ATROUS_BOX3: [(i, j, 1.0) for i in (-1, 0, 1) for j in (-1, 0, 1)],
+    ATROUS_GAUSS3: [(i, j, (2 * _G3[i]) * (2 * _G3[j]))
+                    for i in (-1, 0, 1) for j in (-1, 0, 1)],
+    ATROUS_GAUSS5: [(i, j, _G5[i] * _G5[j])
+                    for i in range(-2, 3) for j in range(-2, 3)],
+}
+
+
 @dataclasses.dataclass(frozen=True)
 class SVGFConfig:
     num_filter_stages: int = 5
@@ -42,6 +59,7 @@ class SVGFConfig:
     sigma_n: float = 128.0
     sigma_l: float = 4.0
     mollify_specular: bool = False  # hook parity; roughening handled in PT
+    atrous_kernel: str = ATROUS_BOX3  # reference: ATrousKernelType
 
 
 @struct.dataclass
@@ -286,27 +304,28 @@ def atrous_stage(color, variance, depth, normal, hit, step: int, cfg: SVGFConfig
             w_acc = w_acc + wgt
     local_std = jnp.sqrt(jnp.maximum(v_acc / w_acc, 0.0))
 
-    sum_w = jnp.ones_like(lum)  # center box weight = 1
-    acc_c = color
-    acc_v = variance
-    for i in (-1, 0, 1):
-        for j in (-1, 0, 1):
-            if i == 0 and j == 0:
-                continue
-            dy, dx = i * step, j * step
-            nb_depth = _shift(depth, dy, dx, fill=jnp.inf)
-            nb_hit = _shift(hit, dy, dx, fill=False)
-            nb_normal = _shift(normal, dy, dx)
-            nb_color = _shift(color, dy, dx)
-            nb_var = _shift(variance, dy, dx)
-            nb_lum = luminance(nb_color)
-            wz = _w_depth(nb_depth, depth, dzdx, dzdy, dx, dy, cfg.sigma_z)
-            wn = _w_normal(nb_normal, normal, cfg.sigma_n)
-            wl = jnp.exp(-jnp.abs(nb_lum - lum) / (cfg.sigma_l * local_std + _EPS))
-            wgt = jnp.where(nb_hit, wz * wn * wl, 0.0)  # box weight h = 1
-            acc_c = acc_c + wgt[..., None] * nb_color
-            acc_v = acc_v + (wgt * wgt) * nb_var
-            sum_w = sum_w + wgt
+    taps = _ATROUS_KERNELS[cfg.atrous_kernel]
+    center_w = next(wgt for (i, j, wgt) in taps if i == 0 and j == 0)
+    sum_w = jnp.full_like(lum, center_w)
+    acc_c = center_w * color
+    acc_v = (center_w * center_w) * variance
+    for i, j, h_w in taps:
+        if i == 0 and j == 0:
+            continue
+        dy, dx = i * step, j * step
+        nb_depth = _shift(depth, dy, dx, fill=jnp.inf)
+        nb_hit = _shift(hit, dy, dx, fill=False)
+        nb_normal = _shift(normal, dy, dx)
+        nb_color = _shift(color, dy, dx)
+        nb_var = _shift(variance, dy, dx)
+        nb_lum = luminance(nb_color)
+        wz = _w_depth(nb_depth, depth, dzdx, dzdy, dx, dy, cfg.sigma_z)
+        wn = _w_normal(nb_normal, normal, cfg.sigma_n)
+        wl = jnp.exp(-jnp.abs(nb_lum - lum) / (cfg.sigma_l * local_std + _EPS))
+        wgt = jnp.where(nb_hit, h_w * wz * wn * wl, 0.0)
+        acc_c = acc_c + wgt[..., None] * nb_color
+        acc_v = acc_v + (wgt * wgt) * nb_var
+        sum_w = sum_w + wgt
     return acc_c / sum_w[..., None], acc_v / (sum_w * sum_w)
 
 

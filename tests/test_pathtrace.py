@@ -105,3 +105,21 @@ def test_deterministic():
     assert np.array_equal(np.asarray(a), np.asarray(b))
     c = render_sample(scene, bvh, cam, 8, 8, jnp.uint32(8), cfg)
     assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_solid_angle_sampling_matches_area():
+    """NEE with solid-angle triangle sampling must estimate the same direct
+    lighting as area sampling (reference: useSolidAngleSampling variant)."""
+    e = 30.0
+    scene, bvh = compile_scene(
+        quad_light_scene(emittance=(e, e, e), albedo=0.6, light_y=1.2,
+                         light_dim=0.8))
+    cam = make_camera([0.5, 0.9, 0.5], fov_y=np.deg2rad(20), aspect=1.0,
+                      target=[0.0, 0.0, 0.0])
+    base = dict(max_path_length=2, enable_jitter=True, russian_roulette=False,
+                use_implicit_light_sampling=False)
+    area = _mean_radiance(scene, bvh, cam, 8, 8, 200, PTConfig(**base))
+    sa = _mean_radiance(scene, bvh, cam, 8, 8, 200,
+                        PTConfig(**base, use_solid_angle_sampling=True))
+    rel = abs(sa.mean() - area.mean()) / area.mean()
+    assert rel < 0.05, (sa.mean(), area.mean())

@@ -96,3 +96,25 @@ def test_demodulation_roundtrip():
     # tiny albedo clamps to zero, no inf/nan
     dem2 = demodulate_albedo(lighting, jnp.full((H, W, 3), 1e-4, jnp.float32))
     assert np.all(np.asarray(dem2) == 0.0)
+
+
+def test_atrous_kernel_variants():
+    """All three kernel types preserve constants and denoise."""
+    from gfxexp_tpu.techniques.svgf import (
+        ATROUS_BOX3,
+        ATROUS_GAUSS3,
+        ATROUS_GAUSS5,
+    )
+
+    gb = _flat_gbuffer()
+    rng = np.random.default_rng(0)
+    noisy = jnp.asarray(
+        0.5 + 0.2 * rng.standard_normal((H, W, 3)).astype(np.float32))
+    var = jnp.full((H, W), 0.04, jnp.float32)
+    for kernel in (ATROUS_BOX3, ATROUS_GAUSS3, ATROUS_GAUSS5):
+        cfg = SVGFConfig(atrous_kernel=kernel)
+        const = jnp.full((H, W, 3), 0.7, jnp.float32)
+        out, _ = atrous_stage(const, var, gb.depth, gb.normal, gb.hit, 2, cfg)
+        assert np.allclose(np.asarray(out), 0.7, atol=1e-5), kernel
+        out, _ = atrous_stage(noisy, var, gb.depth, gb.normal, gb.hit, 1, cfg)
+        assert np.asarray(out).std() < np.asarray(noisy).std(), kernel
