@@ -34,22 +34,10 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (AXIS,))
 
 
-def render_sample_sharded(
-    mesh: Mesh,
-    scene,
-    bvh,
-    camera,
-    width: int,
-    height: int,
-    sample_idx,
-    cfg: PTConfig = PTConfig(),
-):
-    """One sample per pixel, image rows sharded across the mesh. Returns a
-    fully-addressable [H*W, 3] array sharded over lanes."""
+@functools.lru_cache(maxsize=32)
+def _sharded_render_fn(mesh: Mesh, width: int, height: int, cfg: PTConfig):
     n_dev = mesh.devices.size
-    total = width * height
-    assert total % n_dev == 0, (total, n_dev)
-    lanes_per = total // n_dev
+    lanes_per = (width * height) // n_dev
 
     @functools.partial(
         jax.shard_map,
@@ -70,22 +58,90 @@ def render_sample_sharded(
         )
         return out
 
-    return tile_fn(scene, bvh, camera, jnp.asarray(sample_idx, jnp.uint32))
+    # jit is REQUIRED, not a nicety: an eager shard_map call dispatches
+    # primitive-by-primitive (one tiny XLA program each — measured 316s vs
+    # 8s for the whole jitted pipeline on the CPU mesh)
+    return jax.jit(tile_fn)
+
+
+def render_sample_sharded(
+    mesh: Mesh,
+    scene,
+    bvh,
+    camera,
+    width: int,
+    height: int,
+    sample_idx,
+    cfg: PTConfig = PTConfig(),
+):
+    """One sample per pixel, image rows sharded across the mesh. Returns a
+    fully-addressable [H*W, 3] array sharded over lanes."""
+    total = width * height
+    assert total % mesh.devices.size == 0, (total, mesh.devices.size)
+    fn = _sharded_render_fn(mesh, width, height, cfg)
+    return fn(scene, bvh, camera, jnp.asarray(sample_idx, jnp.uint32))
 
 
 def nrc_train_step_dp(mesh: Mesh, state, query, target, mask, nrc_cfg):
     """Data-parallel NRC training over the mesh: batch sharded on AXIS,
-    parameters replicated — XLA inserts the gradient all-reduce (the
-    renderer's analogue of dp training; SURVEY.md §5 distributed backend).
+    parameters replicated, ONE fused gradient all-reduce (the renderer's
+    analogue of dp training; SURVEY.md §5 distributed backend).
+
+    Written as an explicit shard_map + a single psum over the flattened
+    (loss, count, grads) pytree rather than pjit auto-sharding: one
+    collective per step is both the efficient ICI pattern (one ring pass
+    over a contiguous buffer) and the only shape that executes reliably on
+    hosts with fewer cores than virtual devices (XLA:CPU's rendezvous
+    starves when several all-reduces interleave on one worker thread).
     Returns (new_state, loss)."""
-    from jax.sharding import NamedSharding
+    return _nrc_dp_step_fn(mesh, nrc_cfg)(state, query, target, mask)
 
-    from gfxexp_tpu.techniques.nrc.network import train_step
 
-    batch_sharding = NamedSharding(mesh, P(AXIS))
-    replicated = NamedSharding(mesh, P())
-    query = jax.device_put(query, batch_sharding)
-    target = jax.device_put(target, batch_sharding)
-    mask = jax.device_put(mask, batch_sharding)
-    state = jax.device_put(state, replicated)
-    return train_step(state, query, target, mask, nrc_cfg)
+@functools.lru_cache(maxsize=8)
+def _nrc_dp_step_fn(mesh: Mesh, nrc_cfg):
+    import optax
+    from jax.flatten_util import ravel_pytree
+
+    from gfxexp_tpu.techniques.nrc.network import apply, make_optimizer
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def step(state_, q, t, m):
+        def loss_fn(params):
+            pred = apply(params, q, nrc_cfg)
+            lum = (
+                0.2126 * pred[..., 0] + 0.7152 * pred[..., 1]
+                + 0.0722 * pred[..., 2]
+            )
+            denom = jax.lax.stop_gradient(lum * lum) + 0.01
+            per = jnp.sum((pred - t) ** 2, axis=-1) / denom
+            return jnp.sum(jnp.where(m, per, 0.0))  # local sum, psum'd below
+
+        loss_sum, grads = jax.value_and_grad(loss_fn)(state_["params"])
+        n_valid = jnp.sum(m).astype(jnp.float32)
+        flat, unravel = ravel_pytree((loss_sum, n_valid, grads))
+        loss_sum, n_valid, grads = unravel(jax.lax.psum(flat, AXIS))
+        inv_n = 1.0 / jnp.maximum(n_valid, 1.0)
+        grads = jax.tree_util.tree_map(lambda g: g * inv_n, grads)
+
+        tx = make_optimizer(nrc_cfg)
+        updates, new_opt = tx.update(grads, state_["opt"], state_["params"])
+        new_params = optax.apply_updates(state_["params"], updates)
+        d = nrc_cfg.ema_decay
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p: d * e + (1.0 - d) * p, state_["ema"], new_params
+        )
+        new_state = {
+            "params": new_params,
+            "ema": new_ema,
+            "opt": new_opt,
+            "step": state_["step"] + 1,
+        }
+        return new_state, loss_sum * inv_n
+
+    return jax.jit(step)  # jit required: eager shard_map dispatches per-primitive

@@ -10,6 +10,7 @@ So +x_cam points screen-left and +y_cam screen-up.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -100,7 +101,12 @@ def generate_rays_for_lanes(camera: Camera, width: int, height: int, lane, jx, j
     d_cam = jnp.stack(
         [vw * (0.5 - x), vh * (0.5 - y), jnp.ones_like(x)], axis=-1
     )
-    d_world = d_cam @ camera.orientation.T
+    # precision=HIGHEST: XLA's default lowers f32 matmuls to bf16 on TPU,
+    # which skews ray directions by whole pixels at 512px (core/math.py _HI
+    # convention)
+    d_world = jnp.matmul(
+        d_cam, camera.orientation.T, precision=jax.lax.Precision.HIGHEST
+    )
     d_world = normalize(d_world)
     o = jnp.broadcast_to(camera.position, (n, 3))
     return o, d_world
@@ -110,7 +116,11 @@ def screen_position(camera: Camera, p):
     """World point -> screen uv in [0,1]^2 (for motion vectors; reference:
     PerspectiveCamera::calcScreenPosition)."""
     rel = p - camera.position
-    local = rel @ camera.orientation  # inverse of orthonormal orientation
+    # inverse of orthonormal orientation; HIGHEST precision — feeds motion
+    # vectors (SVGF reprojection validity, ReSTIR temporal lookup)
+    local = jnp.matmul(
+        rel, camera.orientation, precision=jax.lax.Precision.HIGHEST
+    )
     z = jnp.maximum(local[..., 2], 1e-8)
     vh = 2.0 * jnp.tan(camera.fov_y * 0.5)
     vw = camera.aspect * vh

@@ -21,7 +21,7 @@ from flax import struct
 
 from gfxexp_tpu.accel.bvh_build import BVH
 from gfxexp_tpu.accel.traverse import intersect_closest
-from gfxexp_tpu.core.math import make_frame, normalize, to_local
+from gfxexp_tpu.core.math import make_frame, normalize, to_local, transform_point
 from gfxexp_tpu.core.rng import SampleStream
 from gfxexp_tpu.render.bsdf import bsdf_dh_reflectance, material_params_textured
 from gfxexp_tpu.render.camera import (
@@ -94,8 +94,8 @@ def render_gbuffer(
     inst = scene.units.instance[sp.unit]
     inv_cur = scene.instances.inv_transform[inst]
     prev_m = scene.instances.prev_transform[inst]
-    obj_p = jnp.einsum("nij,nj->ni", inv_cur[:, :, :3], sp.position) + inv_cur[:, :, 3]
-    prev_p = jnp.einsum("nij,nj->ni", prev_m[:, :, :3], obj_p) + prev_m[:, :, 3]
+    obj_p = transform_point(inv_cur, sp.position)  # HIGHEST-precision einsum
+    prev_p = transform_point(prev_m, obj_p)
     cur_uv = screen_position(camera, sp.position)
     prev_uv = screen_position(prev_camera, prev_p)
     motion = (cur_uv - prev_uv) * jnp.asarray([width, height], jnp.float32)

@@ -172,10 +172,12 @@ def _intersect_closest_sorted(bvh, tris, ray_o, ray_d, alive):
 
 
 def _next_event(scene, bvh, sp: SurfacePoint, v_out_local, frame, params, rs,
-                cfg: PTConfig):
+                cfg: PTConfig, alive=None):
     """NEE with MIS (reference: performNextEventEstimation,
     optix_pathtracing_kernels.cu:18-48 + performDirectLighting,
-    path_tracing_shared.h:419-457). Returns [R, 3] contribution."""
+    path_tracing_shared.h:419-457). Returns [R, 3] contribution. `alive`
+    masks the shadow-ray tmax so dead/zero-potential lanes cost the
+    traverser nothing (on late bounces most lanes are dead)."""
     t, b, n = frame
     u_light = rs.next()
     u0, u1 = rs.next2()
@@ -212,8 +214,12 @@ def _next_event(scene, bvh, sp: SurfacePoint, v_out_local, frame, params, rs,
         mis = jnp.ones_like(ls.pdf)
 
     potential = (ls.pdf > 0.0) & (lp_cos > 0.0)
-    # shadow ray (reference traces with tmax = 0.9999 dist; env dist = 1e10)
+    if alive is not None:
+        potential = potential & alive
+    # shadow ray (reference traces with tmax = 0.9999 dist; env dist = 1e10);
+    # tmax < 0 on non-contributing lanes = zero traversal work
     shadow_tmax = jnp.where(ls.at_infinity, 1e10, dist * 0.9999)
+    shadow_tmax = jnp.where(potential, shadow_tmax, -1.0)
     occluded = intersect_any(
         bvh, scene.triangles, sp.position, shadow_dir, t_min=0.0, t_max=shadow_tmax
     )
@@ -370,7 +376,7 @@ def render_lanes(
                              params, rs, cfg, alive)
             else:
                 nee = _next_event(scene, bvh, sp_off, v_out_local, (t, b, nrm),
-                                  params, rs, cfg)
+                                  params, rs, cfg, alive)
             contribution = contribution + jnp.where(
                 alive[..., None], throughput * nee, 0.0
             )

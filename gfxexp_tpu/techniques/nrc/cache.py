@@ -296,7 +296,8 @@ def render_sample_nrc(
 
         # ---- NEE --------------------------------------------------------
         nee = _next_event(scene, bvh, sp.replace(position=pos_off),
-                          v_out_local, (t, b, nrm), params, rs, pt_cfg)
+                          v_out_local, (t, b, nrm), params, rs, pt_cfg,
+                          alive)  # training suffixes still need NEE targets
         contribution = contribution + jnp.where(
             (alive & ~render_ended)[..., None], throughput * nee, 0.0)
 

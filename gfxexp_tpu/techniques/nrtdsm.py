@@ -36,6 +36,7 @@ from flax import struct
 from gfxexp_tpu.techniques.tfdm import (
     DisplacementParameters,
     MinMaxMipmap,
+    _uv_transform,
     build_minmax_mipmap,
     sample_height as _tfdm_sample_height,
 )
@@ -273,13 +274,16 @@ class NRTDSMHit:
 
 def _height_field(geom: NRTDSMGeometry, uv):
     p = geom.params
-    # reuse TFDM's local-intersection sampling on a lightweight proxy
+    # reuse TFDM's local-intersection sampling on a lightweight proxy;
+    # textureTransform (uv scale/rotation/offset) applies before the lookup,
+    # matching TFDM's _displaced_height (reference: DisplacementParameters
+    # textureTransform, common_shared.h:1196-1204)
     class _Proxy:
         height = geom.height
         params = geom.params
 
     return p.h_offset + p.h_scale * (
-        _tfdm_sample_height(_Proxy, uv) - p.h_bias)
+        _tfdm_sample_height(_Proxy, _uv_transform(p, uv)) - p.h_bias)
 
 
 def intersect_nrtdsm(geom: NRTDSMGeometry, o, d, t_min=1e-4, t_max=1e30,

@@ -62,10 +62,17 @@ class MinMaxMipmap:
     n_levels: int = struct.field(pytree_node=False, default=1)
 
 
-def build_minmax_mipmap(height: np.ndarray) -> MinMaxMipmap:
+def _height_channel0(height) -> np.ndarray:
+    """[S,S] or [S,S,C] heightmap -> [S,S] f32 channel 0 (mirrors the minmax
+    pyramid so sampled heights and conservative bounds agree)."""
     h = np.asarray(height, np.float32)
     if h.ndim == 3:
         h = h[..., 0]
+    return h
+
+
+def build_minmax_mipmap(height: np.ndarray) -> MinMaxMipmap:
+    h = _height_channel0(height)
     s = h.shape[0]
     assert h.shape == (s, s) and (s & (s - 1)) == 0, "square pow2 heightmap"
     levels = [np.stack([h, h], axis=-1)]
@@ -159,8 +166,7 @@ def build_tfdm_geometry(positions, indices, uvs, height, params=None,
         n0=jnp.asarray(n0), n1=jnp.asarray(n1), n2=jnp.asarray(n2),
         uv0=jnp.asarray(uvs[i0]), uv1=jnp.asarray(uvs[i1]),
         uv2=jnp.asarray(uvs[i2]),
-        height=jnp.asarray(np.asarray(height, np.float32).reshape(
-            height.shape[0], -1)[:, :height.shape[0]]),
+        height=jnp.asarray(_height_channel0(height)),
         minmax=mm,
         aabb_min=jnp.asarray(lo), aabb_max=jnp.asarray(hi),
         material=material, params=params,

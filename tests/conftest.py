@@ -9,6 +9,7 @@ processes through a single relay and everything crawls.
 """
 
 import os
+import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
@@ -18,14 +19,39 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 import jax  # noqa: E402
+
+_NEEDS_REEXEC = jax.devices()[0].platform != "cpu" or len(jax.devices()) < 8
+
+
+def pytest_configure(config):
+    """jax may be preimported at interpreter startup (sitecustomize registers
+    the TPU plugin and binds JAX_PLATFORMS=axon), making the env vars above
+    too late. Re-exec the whole pytest process with a scrubbed env: no plugin
+    registration, CPU platform, 8 virtual devices. Done here (not at import)
+    so pytest's fd-level capture can be torn down first — otherwise the
+    exec'd child inherits fds pointing at orphaned capture files and all
+    output is lost."""
+    if not _NEEDS_REEXEC:
+        return
+    if os.environ.get("_GFXEXP_TEST_CHILD") == "1":
+        raise RuntimeError("scrubbed test env still lacks an 8-device CPU mesh")
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.stop_global_capturing()
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["_GFXEXP_TEST_CHILD"] = "1"
+    os.execvpe(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".cache", "jax")
-os.makedirs(_cache_dir, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from gfxexp_tpu.utils.runtime import enable_compile_cache  # noqa: E402
+
+if not _NEEDS_REEXEC:
+    enable_compile_cache()
 
 
 @pytest.fixture
