@@ -39,6 +39,11 @@ def make_arg_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("-no-jitter", action="store_true")
     p.add_argument("-bump", action="store_true", help="enable normal mapping")
     p.add_argument("-stats", action="store_true", help="print per-pass timings")
+    p.add_argument("-debug-switches", type=int, default=0,
+                   help="8-bit runtime debug bitfield forwarded into kernels "
+                        "(reference: PerFramePipelineLaunchParameters::"
+                        "debugSwitches). PT: bit0=no NEE, bit1=no implicit "
+                        "light, bit2=no Russian roulette")
     # camera
     p.add_argument("-cam-pos", type=float, nargs=3, default=[0.0, 0.0, 3.16])
     p.add_argument("-cam-roll", type=float, default=0.0)

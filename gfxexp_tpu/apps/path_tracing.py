@@ -45,7 +45,8 @@ def main(argv=None):
                 "update", advance_frame, scene, bvh, controllers, f / 60.0)
         radiance = timer.measure(
             "pathTrace", render_sample, scene, bvh, camera,
-            args.width, args.height, jnp.uint32(f), cfg)
+            args.width, args.height, jnp.uint32(f), cfg,
+            jnp.uint32(args.debug_switches))
         film = add_sample(film, radiance.reshape(args.height, args.width, 3))
         if args.stats and (f % 16 == 15):
             print(f"frame {f + 1}/{args.frames}: {timer.report()}",

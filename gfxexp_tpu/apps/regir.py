@@ -13,7 +13,8 @@ from gfxexp_tpu.apps import common
 def main(argv=None):
     p = common.make_arg_parser("regir")
     p.add_argument("-grid-dim", type=int, nargs=3, default=[16, 16, 16])
-    p.add_argument("-light-slots", type=int, default=128)
+    p.add_argument("-light-slots", type=int, default=512,
+                   help="reference: kNumLightSlotsPerCell (regir_shared.h:7)")
     p.add_argument("-log2-candidates-per-slot", type=int, default=3)
     p.add_argument("-log2-candidates-per-cell", type=int, default=3)
     p.add_argument("-no-temporal", action="store_true")

@@ -17,6 +17,7 @@ def main(argv=None):
     p.add_argument("-no-taa", action="store_true")
     p.add_argument("-feedback-1st", action="store_true")
     p.add_argument("-filter-stages", type=int, default=5)
+    p.add_argument("-mollify-specular", action="store_true")
     args = common.parse_scene_args(p, argv)
     from gfxexp_tpu.utils.runtime import enable_compile_cache
 
@@ -37,13 +38,15 @@ def main(argv=None):
     prev_camera = camera
     pt_cfg = PTConfig(max_path_length=args.max_path_length,
                       enable_jitter=not args.no_jitter,
-                      enable_bump_mapping=args.bump)
+                      enable_bump_mapping=args.bump,
+                      mollify_specular=args.mollify_specular)
     svgf_cfg = SVGFConfig(
         enable_svgf=not args.no_svgf,
         enable_temporal_accumulation=not args.no_temporal,
         enable_taa=not args.no_taa,
         feedback_1st_filtered=args.feedback_1st,
         num_filter_stages=args.filter_stages,
+        mollify_specular=args.mollify_specular,
     )
 
     state = make_svgf_state(args.width, args.height)

@@ -79,6 +79,10 @@ class PTConfig:
     # solid-angle triangle sampling for NEE (reference:
     # useSolidAngleSampling, off by default like the reference)
     use_solid_angle_sampling: bool = False
+    # roughen specular lobes after the first bounce to suppress fireflies
+    # (reference: BSDFFlags::Regularize — smoothness *= 0.5 at BSDF setup,
+    # common_device.cuh:795-797; toggled by SVGF's mollifySpecular)
+    mollify_specular: bool = False
 
     @property
     def use_mis(self):
@@ -244,15 +248,27 @@ def render_lanes(
     sample_idx,
     cfg: PTConfig = PTConfig(),
     nee_fn=None,
+    nee_aux=None,
+    debug_switches=None,
 ):
     """Render one sample for `lane_count` consecutive pixels starting at
     linear pixel index `lane_start` (traced — enables tiling and per-device
     sharding). Returns radiance [lane_count, 3] (plus traced-ray count when
     cfg.count_rays).
 
-    `nee_fn(scene, bvh, sp, v_out_local, frame, params, rs, cfg, alive)`
-    overrides next-event estimation (used by ReGIR's cell resampling); it must
-    be trace-static (close over its state)."""
+    `nee_fn(scene, bvh, sp, v_out_local, frame, params, rs, cfg, alive, aux)`
+    overrides next-event estimation (used by ReGIR's cell resampling) and must
+    return `(radiance, aux)`. `aux` is an arbitrary pytree carried through the
+    bounce scan (initial value: `nee_aux`) — the hook may NOT stash traced
+    values in Python state (that leaks tracers out of `lax.scan`); anything it
+    wants back (e.g. ReGIR's per-cell touch counts) must flow through aux.
+    When `nee_aux` is not None the final aux is returned alongside radiance.
+
+    `debug_switches` is a TRACED uint32 bitfield — the TPU analogue of the
+    reference's 8 per-frame debug switches (path_tracing_shared.h:173-180):
+    runtime toggles that do not recompile. Assignments: bit 0 = disable
+    explicit light sampling (NEE), bit 1 = disable implicit/env emitter
+    contributions past the primary hit, bit 2 = disable Russian roulette."""
     n = lane_count
     lane = jnp.asarray(lane_start, jnp.uint32) + jnp.arange(n, dtype=jnp.uint32)
     # lanes are block-major over the screen (16x16 blocks) so consecutive
@@ -275,37 +291,52 @@ def render_lanes(
     alive = jnp.ones((n,), bool)
     prev_pdf = jnp.zeros((n,), jnp.float32)  # solid-angle pdf of prev bounce
 
-    use_env = cfg.enable_env and scene.env is not None
-    p_env_sel, _ = light_selection_probs(scene)
+    if debug_switches is None:
+        debug_switches = jnp.zeros((), jnp.uint32)
+    sw = jnp.asarray(debug_switches, jnp.uint32)
+    dbg_no_nee = (sw & 1) != 0
+    dbg_no_implicit = (sw & 2) != 0
+    dbg_no_rr = (sw & 4) != 0
 
-    for bounce in range(1, cfg.max_path_length + 1):
+    use_env = cfg.enable_env and scene.env is not None
+    p_env_sel, p_surf_sel = light_selection_probs(scene)
+
+    # Bounce loop structure: peel the first bounce (MIS weights are 1 there),
+    # lax.scan the uniform middle bounces, peel the last (collect-only — no
+    # NEE / no direction sample). Three traversal-kernel instantiations total
+    # instead of max_path_length: cuts trace+compile time by ~L/3 with
+    # byte-identical output (RNG is counter-based, streams keyed by bounce).
+    def step(state, bounce, first: bool, collect_only: bool):
+        (ray_o, ray_d, throughput, alive, prev_pdf, contribution,
+         rays_traced, nee_aux) = state
         rs = SampleStream(pixel, sample_idx, stream=bounce)
         if cfg.count_rays:
             rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
-        if cfg.sort_secondary_rays and bounce > 1:
+        if cfg.sort_secondary_rays and not first:
             hit = _intersect_closest_sorted(bvh, scene.triangles, ray_o,
                                             ray_d, alive)
         else:
+            # dead lanes trace with tmax < 0 => zero traversal work
+            tmax = jnp.where(alive, 1e30, -1.0)
             hit = intersect_closest(bvh, scene.triangles, ray_o, ray_d,
-                                    t_min=0.0, t_max=1e30)
+                                    t_min=0.0, t_max=tmax)
         hit_ok = alive & hit.hit
         miss = alive & ~hit.hit
 
         # ---- miss: environment contribution -----------------------------
         if use_env:
             env_l = env_radiance(scene.env, ray_d)
-            if bounce == 1 or not cfg.use_mis:
+            if first or not cfg.use_mis:
                 env_mis = jnp.ones((n,), jnp.float32)
             else:
                 light_p = p_env_sel * env_pdf(scene.env, ray_d)
                 env_mis = prev_pdf**2 / jnp.maximum(prev_pdf**2 + light_p**2, 1e-30)
-            env_gate = miss if cfg.use_implicit_light_sampling or bounce == 1 else jnp.zeros_like(miss)
+            env_gate = miss if cfg.use_implicit_light_sampling or first else jnp.zeros_like(miss)
+            if not first:
+                env_gate = env_gate & ~dbg_no_implicit
             contribution = contribution + jnp.where(
                 env_gate[..., None], throughput * env_l * env_mis[..., None], 0.0
             )
-
-        if not cfg.use_implicit_light_sampling and bounce > 1:
-            pass  # implicit surface-emitter hits ignored in this mode
 
         sp = compute_surface_point(scene, hit.tri, hit.u, hit.v)
         v_out = -ray_d
@@ -333,13 +364,12 @@ def render_lanes(
 
         # ---- implicit emitter contribution ------------------------------
         emissive = jnp.any(sp.emittance > 0.0, axis=-1) & (v_out_local[..., 2] > 0.0)
-        if cfg.use_implicit_light_sampling or bounce == 1:
-            if bounce == 1 or not cfg.use_mis:
+        if cfg.use_implicit_light_sampling or first:
+            if first or not cfg.use_mis:
                 mis_w = jnp.ones((n,), jnp.float32)
             else:
                 dist2 = jnp.maximum(hit.t**2, 1e-12)
                 hyp_area = surface_light_pdf(scene, jnp.maximum(hit.tri, 0))
-                _, p_surf_sel = light_selection_probs(scene)
                 light_p = (
                     p_surf_sel
                     * hyp_area
@@ -348,6 +378,8 @@ def render_lanes(
                 )
                 mis_w = prev_pdf**2 / jnp.maximum(prev_pdf**2 + light_p**2, 1e-30)
             gate = hit_ok & emissive
+            if not first:
+                gate = gate & ~dbg_no_implicit
             contribution = contribution + jnp.where(
                 gate[..., None], throughput * sp.emittance * (mis_w / _PI)[..., None], 0.0
             )
@@ -355,30 +387,39 @@ def render_lanes(
         alive = hit_ok
 
         # ---- Russian roulette (reference: CH :264-268; init importance is
-        # the camera-path luminance 1.0) ---------------------------------
-        if cfg.russian_roulette and bounce > 1:
+        # the camera-path luminance 1.0). At the last bounce RR cannot change
+        # the image (contribution is already collected), so collect-only
+        # steps skip it. -------------------------------------------------
+        if cfg.russian_roulette and not first and not collect_only:
             cont_prob = jnp.minimum(luminance(throughput), 1.0)
+            cont_prob = jnp.where(dbg_no_rr, 1.0, cont_prob)
             u_rr = rs.next()
             alive = alive & (u_rr < cont_prob)
             throughput = throughput / jnp.maximum(cont_prob, 1e-8)[..., None]
-        if bounce == cfg.max_path_length:
-            break  # final vertex only collects implicit light
+        if collect_only:
+            return (ray_o, ray_d, throughput, alive, prev_pdf, contribution,
+                    rays_traced, nee_aux)
 
         # ---- NEE ---------------------------------------------------------
         params = material_params_textured(
             scene.materials, scene.textures, sp.material, sp.texcoord)
+        if cfg.mollify_specular and not first:
+            # smoothness *= 0.5 <=> roughness -> 1 - 0.5*(1 - roughness)
+            params = params.replace(
+                roughness=1.0 - 0.5 * (1.0 - params.roughness))
         sp_off = sp.replace(position=pos_off)
         if cfg.use_explicit_light_sampling:
             if cfg.count_rays:
                 rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
             if nee_fn is not None:
-                nee = nee_fn(scene, bvh, sp_off, v_out_local, (t, b, nrm),
-                             params, rs, cfg, alive)
+                nee, nee_aux = nee_fn(scene, bvh, sp_off, v_out_local,
+                                      (t, b, nrm), params, rs, cfg, alive,
+                                      nee_aux)
             else:
                 nee = _next_event(scene, bvh, sp_off, v_out_local, (t, b, nrm),
                                   params, rs, cfg, alive)
             contribution = contribution + jnp.where(
-                alive[..., None], throughput * nee, 0.0
+                (alive & ~dbg_no_nee)[..., None], throughput * nee, 0.0
             )
 
         # ---- sample next direction --------------------------------------
@@ -389,13 +430,27 @@ def render_lanes(
         throughput = jnp.where((alive & valid)[..., None], throughput * thr, throughput)
         alive = alive & valid
         v_in = to_world(t, b, nrm, v_in_local)
-        ray_o = pos_off
-        ray_d = normalize(v_in)
-        prev_pdf = pdf
+        return (pos_off, normalize(v_in), throughput, alive, pdf, contribution,
+                rays_traced, nee_aux)
 
-    if cfg.count_rays:
-        return contribution, rays_traced
-    return contribution
+    L = cfg.max_path_length
+    state = (ray_o, ray_d, throughput, alive, prev_pdf, contribution,
+             rays_traced, nee_aux)
+    state = step(state, jnp.uint32(1), first=True, collect_only=(L == 1))
+    if L > 2:
+        def scan_body(s, bounce):
+            return step(s, bounce, first=False, collect_only=False), None
+
+        state, _ = jax.lax.scan(
+            scan_body, state, jnp.arange(2, L, dtype=jnp.uint32))
+    if L > 1:
+        state = step(state, jnp.uint32(L), first=False, collect_only=True)
+    contribution, rays_traced, final_aux = state[5], state[6], state[7]
+
+    result = (contribution, rays_traced) if cfg.count_rays else contribution
+    if nee_aux is not None:
+        return result, final_aux
+    return result
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "cfg"))
@@ -407,6 +462,7 @@ def render_sample(
     height: int,
     sample_idx,
     cfg: PTConfig = PTConfig(),
+    debug_switches=None,
 ):
     """Render one sample for every pixel; returns radiance [H*W, 3] in
     row-major PIXEL order (render_lanes' internal block-major lane order is
@@ -416,7 +472,7 @@ def render_sample(
     scene arrays in an outer jit (XLA would embed them as constants and
     recompile per scene)."""
     out = render_lanes(scene, bvh, camera, width, height, 0, width * height,
-                       sample_idx, cfg)
+                       sample_idx, cfg, debug_switches=debug_switches)
     order = lane_from_pixel(jnp.arange(width * height, dtype=jnp.uint32),
                             width, height)
     if cfg.count_rays:

@@ -25,12 +25,20 @@ ALL_BUFFERS = (BUFFER_BEAUTY, BUFFER_ALBEDO, BUFFER_NORMAL, BUFFER_MOTION,
 
 @dataclasses.dataclass(frozen=True)
 class DebugSwitches:
-    """8 generic debug flags forwarded into kernels (reference bitfield)."""
+    """8 generic debug flags forwarded into kernels (reference bitfield).
+
+    Wired into the path tracer as a TRACED uint32 uniform (no recompile on
+    toggle — the TPU analogue of the reference's per-frame launch params):
+    see render_lanes(debug_switches=...) for the bit assignments, and the
+    apps' `-debug-switches N` CLI flag."""
 
     flags: int = 0
 
     def get(self, i: int) -> bool:
         return bool((self.flags >> i) & 1)
+
+    def as_uint32(self):
+        return jnp.uint32(self.flags)
 
 
 def visualize(mode: str, beauty=None, gbuffer=None, brightness: float = 1.0):

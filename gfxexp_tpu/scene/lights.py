@@ -89,12 +89,29 @@ def env_uv_from_dir(env, d):
 
 def env_radiance(env, d):
     """Environment radiance for escaped rays (reference: PT miss program env
-    lookup with powerCoeff)."""
+    lookup with powerCoeff — a bilinear CUDA texture fetch; nearest-texel
+    shows banding on low-res maps). u wraps, v clamps (poles)."""
     u, v = env_uv_from_dir(env, d)
     h, w = env.radiance.shape[:2]
-    x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
-    y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
-    return env.radiance[y, x] * env.power_coeff
+    fx = u * w - 0.5
+    fy = v * h - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+    x0w = x0 % w
+    x1w = (x0 + 1) % w
+    y0c = jnp.clip(y0, 0, h - 1)
+    y1c = jnp.clip(y0 + 1, 0, h - 1)
+    r00 = env.radiance[y0c, x0w]
+    r10 = env.radiance[y0c, x1w]
+    r01 = env.radiance[y1c, x0w]
+    r11 = env.radiance[y1c, x1w]
+    r = (
+        (1 - ty) * ((1 - tx) * r00 + tx * r10)
+        + ty * ((1 - tx) * r01 + tx * r11)
+    )
+    return r * env.power_coeff
 
 
 def env_pdf(env, d):
@@ -280,11 +297,10 @@ def sample_env_light(scene: SceneData, u0, u1) -> LightSample:
     direction = env_dir_from_uv(env, u, v)
     sin_t = jnp.maximum(jnp.sin(_PI * v), 1e-6)
     pdf = uv_pdf / (2.0 * _PI * _PI * sin_t)
-    h, w = env.radiance.shape[:2]
-    x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
-    y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
-    # reference multiplies pi * powerCoeff so Le = emittance/pi = coeff * tex
-    emittance = _PI * env.power_coeff * env.radiance[y, x]
+    # reference multiplies pi * powerCoeff so Le = emittance/pi = coeff * tex;
+    # bilinear fetch to match env_radiance (miss-program lookup) exactly —
+    # NEE and implicit-hit estimates must agree for MIS consistency
+    emittance = _PI * env_radiance(env, direction)
     return LightSample(
         position=direction,
         normal=-direction,

@@ -60,27 +60,35 @@ def solve_cubic_in_interval(coeffs, x_lo, x_hi, n_scan: int = 8,
 
     Scans n_scan sub-intervals for a sign change, then bisects. Returns
     (root, found) — root = x_hi where none found."""
-    xs = [x_lo + (x_hi - x_lo) * (i / n_scan) for i in range(n_scan + 1)]
-    f_prev = eval_cubic(coeffs, xs[0])
-    lo = x_hi
-    hi = x_hi
-    found = jnp.zeros(jnp.shape(f_prev), bool)
-    x_prev = xs[0]
-    for i in range(1, n_scan + 1):
-        f_cur = eval_cubic(coeffs, xs[i])
+    # lax loops, not Python unrolling: this solver is instantiated dozens of
+    # times per prism by the marchers — unrolled it blew XLA compiles past
+    # 20 minutes for a 2-triangle scene
+    span = x_hi - x_lo
+    f0 = eval_cubic(coeffs, x_lo)
+
+    def scan_body(i, s):
+        f_prev, x_prev, lo, hi, found = s
+        x_cur = x_lo + span * (i.astype(jnp.float32) / n_scan)
+        f_cur = eval_cubic(coeffs, x_cur)
         crossing = ~found & (jnp.sign(f_prev) != jnp.sign(f_cur))
         lo = jnp.where(crossing, x_prev, lo)
-        hi = jnp.where(crossing, xs[i], hi)
-        found = found | crossing
-        f_prev, x_prev = f_cur, xs[i]
-    f_lo = eval_cubic(coeffs, lo)
-    for _ in range(n_bisect):
+        hi = jnp.where(crossing, x_cur, hi)
+        return (f_cur, x_cur, lo, hi, found | crossing)
+
+    _, _, lo, hi, found = jax.lax.fori_loop(
+        1, n_scan + 1, scan_body,
+        (f0, x_lo, x_hi, x_hi, jnp.zeros(jnp.shape(f0), bool)))
+
+    def bisect_body(_, s):
+        lo, hi, f_lo = s
         mid = 0.5 * (lo + hi)
         f_mid = eval_cubic(coeffs, mid)
         same = jnp.sign(f_mid) == jnp.sign(f_lo)
-        lo = jnp.where(same, mid, lo)
-        f_lo = jnp.where(same, f_mid, f_lo)
-        hi = jnp.where(same, hi, mid)
+        return (jnp.where(same, mid, lo), jnp.where(same, hi, mid),
+                jnp.where(same, f_mid, f_lo))
+
+    lo, hi, _ = jax.lax.fori_loop(
+        0, n_bisect, bisect_body, (lo, hi, eval_cubic(coeffs, lo)))
     return 0.5 * (lo + hi), found
 
 
@@ -322,31 +330,34 @@ def intersect_nrtdsm(geom: NRTDSMGeometry, o, d, t_min=1e-4, t_max=1e30,
             return h - hf, inside, uv, (b1, b2, h)
 
         dt = (far - near) / n_steps
-        t_prev = near
-        gap_prev, inside_prev, _, _ = gap_at(t_prev)
-        found = jnp.zeros((n_rays,), bool)
-        t_lo = near
-        t_hi = far
-        for k in range(1, n_steps + 1):
-            t_cur = near + dt * k
+        gap0, inside0, _, _ = gap_at(near)
+
+        def march_body(k, s):
+            t_prev, gap_prev, inside_prev, found, t_lo, t_hi = s
+            t_cur = near + dt * k.astype(jnp.float32)
             gap_cur, inside_cur, _, _ = gap_at(t_cur)
             crossing = (
                 active & ~found & inside_prev & inside_cur
                 & (jnp.sign(gap_prev) != jnp.sign(gap_cur)))
             t_lo = jnp.where(crossing, t_prev, t_lo)
             t_hi = jnp.where(crossing, t_cur, t_hi)
-            found = found | crossing
-            t_prev, gap_prev, inside_prev = t_cur, gap_cur, inside_cur
+            return (t_cur, gap_cur, inside_cur, found | crossing, t_lo, t_hi)
+
+        _, _, _, found, t_lo, t_hi = jax.lax.fori_loop(
+            1, n_steps + 1, march_body,
+            (near, gap0, inside0, jnp.zeros((n_rays,), bool), near, far))
         steps_total = steps_total + jnp.where(active, n_steps, 0)
 
-        gap_lo, _, _, _ = gap_at(t_lo)
-        for _ in range(n_refine):
+        def refine_body(_, s):
+            t_lo, t_hi, gap_lo = s
             t_mid = 0.5 * (t_lo + t_hi)
             gap_mid, _, _, _ = gap_at(t_mid)
             same = jnp.sign(gap_mid) == jnp.sign(gap_lo)
-            t_lo = jnp.where(same, t_mid, t_lo)
-            gap_lo = jnp.where(same, gap_mid, gap_lo)
-            t_hi = jnp.where(same, t_hi, t_mid)
+            return (jnp.where(same, t_mid, t_lo), jnp.where(same, t_hi, t_mid),
+                    jnp.where(same, gap_mid, gap_lo))
+
+        t_lo, t_hi, _ = jax.lax.fori_loop(
+            0, n_refine, refine_body, (t_lo, t_hi, gap_at(t_lo)[0]))
         t_hit = 0.5 * (t_lo + t_hi)
 
         take = found & (t_hit > t_min) & (t_hit < best_t)

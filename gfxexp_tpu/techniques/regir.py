@@ -44,7 +44,7 @@ _PI = jnp.pi
 @dataclasses.dataclass(frozen=True)
 class ReGIRConfig:
     grid_dimension: tuple = (16, 16, 16)  # reference: regir_main.cpp grid setup
-    num_light_slots_per_cell: int = 128  # reference uses 512; memory knob
+    num_light_slots_per_cell: int = 512  # reference: kNumLightSlotsPerCell
     log2_num_candidates_per_slot: int = 3
     log2_num_candidates_per_cell: int = 3
     enable_temporal_reuse: bool = True
@@ -254,17 +254,19 @@ def cell_index(grid: GridInfo, cfg: ReGIRConfig, p):
 
 
 def make_regir_nee(state: ReGIRState, grid: GridInfo, cfg: ReGIRConfig):
-    """Returns (nee_fn, touched) where nee_fn matches the wavefront path
-    tracer's NEE hook (render/pathtrace.py render_lanes) — the counterpart of
-    the reference's useReGIR branch of performNextEventEstimation
-    (optix_pathtracing_kernels.cu:86-110). `touched` is a list the closure
-    appends (cell, alive) pairs to during tracing — feed to touch_cells."""
+    """Returns an NEE hook for the wavefront path tracer
+    (render/pathtrace.py render_lanes) — the counterpart of the reference's
+    useReGIR branch of performNextEventEstimation
+    (optix_pathtracing_kernels.cu:86-110). The hook's aux carry is the
+    per-cell access-count array [num_cells] i32 (feeds the LRU): the bounce
+    loop is a lax.scan, so touch information must flow through the carry —
+    Python-side accumulation would leak tracers."""
 
     slots = cfg.num_light_slots_per_cell
     n_resample = 1 << cfg.log2_num_candidates_per_cell
-    touched = []
 
-    def nee_fn(scene, bvh, sp, v_out_local, frame, params, rs, pt_cfg, alive):
+    def nee_fn(scene, bvh, sp, v_out_local, frame, params, rs, pt_cfg, alive,
+               aux):
         t, b, n = frame
         pos = sp.position
         n_lanes = pos.shape[0]
@@ -337,10 +339,11 @@ def make_regir_nee(state: ReGIRState, grid: GridInfo, cfg: ReGIRConfig):
         occluded = intersect_any(bvh, scene.triangles, pos, sdir,
                                  t_min=0.0, t_max=tmax)
         vis = ~occluded & (rec_pdf > 0.0)
-        touched.append((cell, alive))
-        return jnp.where(vis[:, None], sel_cont * rec_pdf[:, None], 0.0)
+        aux = aux.at[jnp.where(alive, cell, 0)].add(
+            alive.astype(jnp.int32), mode="drop")
+        return jnp.where(vis[:, None], sel_cont * rec_pdf[:, None], 0.0), aux
 
-    return nee_fn, touched
+    return nee_fn
 
 
 @functools.partial(
@@ -374,12 +377,12 @@ def render_sample_regir(
     if cfg is None:
         cfg = PTConfig()
     cfg = dataclasses.replace(cfg, use_implicit_light_sampling=False)
-    nee_fn, touched = make_regir_nee(state, grid, regir_cfg)
-    out = render_lanes(scene, bvh, camera, width, height, 0, width * height,
-                       sample_idx, cfg, nee_fn=nee_fn)
-    new_state = state
-    for cell, alive in touched:
-        new_state = touch_cells(new_state, cell, alive)
+    nee_fn = make_regir_nee(state, grid, regir_cfg)
+    out, counts = render_lanes(
+        scene, bvh, camera, width, height, 0, width * height,
+        sample_idx, cfg, nee_fn=nee_fn,
+        nee_aux=jnp.zeros_like(state.num_accesses))
+    new_state = state.replace(num_accesses=state.num_accesses + counts)
     order = lane_from_pixel(jnp.arange(width * height, dtype=jnp.uint32),
                             width, height)
     if cfg.count_rays:

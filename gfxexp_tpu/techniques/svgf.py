@@ -58,7 +58,10 @@ class SVGFConfig:
     sigma_z: float = 1.0
     sigma_n: float = 128.0
     sigma_l: float = 4.0
-    mollify_specular: bool = False  # hook parity; roughening handled in PT
+    # roughen specular after the first bounce (reference: mollifySpecular ->
+    # BSDFFlags::Regularize). Forward into the lighting pass via
+    # PTConfig(mollify_specular=...) — apps/svgf.py does this.
+    mollify_specular: bool = False
     atrous_kernel: str = ATROUS_BOX3  # reference: ATrousKernelType
 
 

@@ -303,13 +303,13 @@ def intersect_tfdm(geom: TFDMGeometry, o, d, t_min=1e-4, t_max=1e30,
             return gap, inside, uv_t, nsh
 
         dt = (far - near) / n_steps
-        t_prev = near
-        gap_prev, inside_prev, _, _ = field_gap(t_prev)
-        found = jnp.zeros((n_rays,), bool)
-        t_lo = near
-        t_hi = far
-        for k in range(1, n_steps + 1):
-            t_cur = near + dt * k
+        gap0, inside0, _, _ = field_gap(near)
+
+        # lax loops (not Python unrolling) keep the instantiated graph small
+        # — unrolled marchers blew XLA compile time up by minutes per prism
+        def march_body(k, s):
+            t_prev, gap_prev, inside_prev, found, t_lo, t_hi = s
+            t_cur = near + dt * k.astype(jnp.float32)
             gap_cur, inside_cur, _, _ = field_gap(t_cur)
             crossing = (
                 active & ~found & inside_prev & inside_cur
@@ -317,19 +317,24 @@ def intersect_tfdm(geom: TFDMGeometry, o, d, t_min=1e-4, t_max=1e30,
             )
             t_lo = jnp.where(crossing, t_prev, t_lo)
             t_hi = jnp.where(crossing, t_cur, t_hi)
-            found = found | crossing
-            t_prev, gap_prev, inside_prev = t_cur, gap_cur, inside_cur
+            return (t_cur, gap_cur, inside_cur, found | crossing, t_lo, t_hi)
+
+        _, _, _, found, t_lo, t_hi = jax.lax.fori_loop(
+            1, n_steps + 1, march_body,
+            (near, gap0, inside0, jnp.zeros((n_rays,), bool), near, far))
         steps_total = steps_total + jnp.where(active, n_steps, 0)
 
         # bisection refinement (Bilinear local intersection)
-        gap_lo, _, _, _ = field_gap(t_lo)
-        for _ in range(n_refine):
+        def refine_body(_, s):
+            t_lo, t_hi, gap_lo = s
             t_mid = 0.5 * (t_lo + t_hi)
             gap_mid, _, _, _ = field_gap(t_mid)
             same = jnp.sign(gap_mid) == jnp.sign(gap_lo)
-            t_lo = jnp.where(same, t_mid, t_lo)
-            gap_lo = jnp.where(same, gap_mid, gap_lo)
-            t_hi = jnp.where(same, t_hi, t_mid)
+            return (jnp.where(same, t_mid, t_lo), jnp.where(same, t_hi, t_mid),
+                    jnp.where(same, gap_mid, gap_lo))
+
+        t_lo, t_hi, _ = jax.lax.fori_loop(
+            0, n_refine, refine_body, (t_lo, t_hi, field_gap(t_lo)[0]))
         t_hit = 0.5 * (t_lo + t_hi)
 
         take = found & (t_hit > t_min) & (t_hit < best_t)

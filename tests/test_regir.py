@@ -64,6 +64,39 @@ def test_regir_matches_standard_nee(regir_setup):
     assert rel < 0.06, (got.mean(), ref.mean())
 
 
+def test_regir_reference_slot_count(regir_setup):
+    """Calibration at the reference's kNumLightSlotsPerCell = 512
+    (regir_shared.h:7) — the parity default; smaller grid + fewer frames to
+    keep CI time bounded."""
+    scene, bvh, cam = regir_setup
+    pt_cfg = PTConfig(max_path_length=2, use_implicit_light_sampling=False)
+    frames = 16
+
+    acc_ref = np.zeros((W * H, 3), np.float64)
+    for f in range(frames):
+        acc_ref += np.asarray(
+            render_sample(scene, bvh, cam, W, H, jnp.uint32(f), pt_cfg))
+    ref = acc_ref / frames
+
+    regir_cfg = ReGIRConfig(grid_dimension=(4, 2, 4))  # 512 slots (default)
+    assert regir_cfg.num_light_slots_per_cell == 512
+    grid = make_grid(scene, regir_cfg)
+    state = make_regir_state(regir_cfg)
+    acc = np.zeros((W * H, 3), np.float64)
+    for f in range(frames):
+        state = build_cell_reservoirs(scene, state, grid, jnp.uint32(f), regir_cfg)
+        img, state = render_sample_regir(
+            scene, bvh, cam, state, grid, W, H, jnp.uint32(f),
+            pt_cfg, regir_cfg)
+        state = finalize_frame(state, f)
+        acc += np.asarray(img)
+    got = acc / frames
+
+    assert np.isfinite(got).all()
+    rel = abs(got.mean() - ref.mean()) / ref.mean()
+    assert rel < 0.08, (got.mean(), ref.mean())
+
+
 def test_regir_lru_and_touch(regir_setup):
     scene, bvh, cam = regir_setup
     regir_cfg = ReGIRConfig(grid_dimension=(4, 2, 4),
