@@ -40,6 +40,7 @@ class BVH:
     # static metadata (not traced)
     max_depth: int = struct.field(pytree_node=False, default=32)
     arity: int = struct.field(pytree_node=False, default=4)
+    max_leaf: int = struct.field(pytree_node=False, default=4)
 
     @property
     def num_nodes(self):
@@ -251,5 +252,6 @@ def build_bvh(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray, arity: int = 4,
         child_count=jnp.asarray(ccount, jnp.int32),
         max_depth=int(max_depth),
         arity=int(arity),
+        max_leaf=int(max_leaf),
     )
     return bvh, perm

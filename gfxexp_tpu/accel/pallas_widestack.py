@@ -1,0 +1,408 @@
+"""Wide-node ordered-stack Pallas traversal — per-row BVH-K descent.
+
+Third-generation TPU traversal kernel (after the tile-shared union walk in
+pallas_traverse.py and the binary row-cursor walk in pallas_rowcursor.py).
+Two structural wins over the binary skip-link row walk:
+
+1. **Children are tested at the parent.** A K-ary node row packs all K child
+   AABBs; one scalar row fetch + K slab tests on [ROWS, 128] vregs decides
+   every child at once. The skip-link walk pays a full step (fetch + test)
+   for every *missed* node too — here missed children cost nothing beyond
+   their slab test, so only genuinely hit nodes are ever visited.
+
+2. **Ordered descent with a vectorized per-row stack.** Hit children are
+   sorted by row-min entry distance (a K-element sorting network on [ROWS,1]
+   scalars); the nearest is descended first and the rest are pushed far->
+   first. The stack is a dense [ROWS, S] i32 array updated with
+   `where(iota == sp)` selects — no scatter, which is what made stack
+   traversal catastrophic in plain XLA (accel/traverse.py docstring).
+   Nearest-first order tightens best_t early, and far subtrees then fail
+   the `far >= near` test against the shrunken best_t wholesale.
+
+Leaves are separate rows tagged in the last column; a popped/descended leaf
+row runs `max_leaf` Moller-Trumbore tests for the whole row. Internal and
+leaf phases are both gated by `lax.cond` so a tile only pays for the phase
+some row actually needs.
+
+Replaces the reference's RT-core pipeline (OptiX, SURVEY.md §7 hard part
+#1); the packed child layout follows the spirit of the reference's wide
+nodes (common_shared.h:757 CompressedInternalNode_T) without the 8-bit
+quantization. Correctness oracle: intersect_closest_brute + the CPU
+interpret path used by tests/test_accel.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gfxexp_tpu.accel.bvh_build import BVH
+from gfxexp_tpu.accel.traverse import HitInfo
+from gfxexp_tpu.scene.types import TriangleSoA
+
+_LANE = 128
+ROWS = 8  # 128-ray rows per tile
+_COUNT_SHIFT = 24
+
+
+@struct.dataclass
+class WideRowBVH:
+    """Packed row-table acceleration structure for the wide-stack kernel.
+
+    Built once at scene-compile time (pack_widerows — host numpy); the row
+    table is a plain device array so it rides the scene pytree through jit
+    as a traced arg (never closed over — CLAUDE.md)."""
+
+    nodes: jnp.ndarray  # [R, W] f32 packed rows
+    arity: int = struct.field(pytree_node=False, default=4)
+    width: int = struct.field(pytree_node=False, default=32)
+    max_leaf: int = struct.field(pytree_node=False, default=4)
+    max_depth: int = struct.field(pytree_node=False, default=32)
+
+    @property
+    def num_nodes(self):
+        return self.nodes.shape[0]
+
+# sorting networks (ascending), pairs applied in sequence
+_NET4 = ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2))
+_NET8 = (
+    (0, 1), (2, 3), (4, 5), (6, 7),
+    (0, 2), (1, 3), (4, 6), (5, 7),
+    (1, 2), (5, 6), (0, 4), (3, 7),
+    (1, 5), (2, 6), (3, 6), (2, 4), (1, 2), (3, 5), (4, 5), (3, 4),
+)
+
+
+def pack_widerows(bvh: BVH) -> WideRowBVH:
+    """Flatten a wide BVH into one [R, W] f32 row table (host numpy, once
+    per scene).
+
+    Internal row (tag 0): child k at cols [7k, 7k+7) = lo.xyz hi.xyz
+    bitcast(child_row or -1). Leaf row (tag 1): col 0 =
+    bitcast(first | count << 24). Tag lives in the last column. W = 32 for
+    arity<=4, else 64."""
+    import numpy as np
+
+    child_min = np.asarray(bvh.child_min, np.float32)
+    child_max = np.asarray(bvh.child_max, np.float32)
+    child_idx = np.asarray(bvh.child_idx, np.int32)
+    child_count = np.asarray(bvh.child_count, np.int32)
+    n_int, arity = child_idx.shape
+    width = 32 if arity <= 4 else 64
+
+    # leaf child slots become rows appended after the internal rows
+    is_leaf = child_count > 0
+    leaf_id = np.cumsum(is_leaf.ravel()).reshape(is_leaf.shape) - 1
+    n_leaf = int(is_leaf.sum())
+    meta = np.where(
+        is_leaf, n_int + leaf_id,
+        np.where(child_count == 0, child_idx, -1)).astype(np.int32)
+    leaf_rows = (child_idx[is_leaf]
+                 | (child_count[is_leaf] << _COUNT_SHIFT)).astype(np.int32)
+
+    r = n_int + n_leaf
+    tab = np.zeros((r, width), np.float32)
+    for k in range(arity):
+        tab[:n_int, 7 * k + 0:7 * k + 3] = child_min[:, k]
+        tab[:n_int, 7 * k + 3:7 * k + 6] = child_max[:, k]
+        tab[:n_int, 7 * k + 6] = meta[:, k].view(np.float32)
+    if n_leaf:
+        tab[n_int:, 0] = leaf_rows.view(np.float32)
+    tab[n_int:, width - 1] = 1.0  # tag: leaf
+    return WideRowBVH(
+        nodes=jnp.asarray(tab), arity=arity, width=width,
+        max_leaf=int(bvh.max_leaf), max_depth=int(bvh.max_depth))
+
+
+def _tri_table_jnp(tris: TriangleSoA, max_leaf: int):
+    """[T+pad, 16] traced build — follows animated triangle updates; XLA
+    fuses/CSEs the construction across traversal calls in one jit."""
+    t = tris.p0.shape[0]
+    tp = jnp.zeros((t + max_leaf, 16), jnp.float32)
+    tp = tp.at[:t, 0:3].set(tris.p0)
+    tp = tp.at[:t, 3:6].set(tris.e1)
+    tp = tp.at[:t, 6:9].set(tris.e2)
+    return tp
+
+
+def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
+                 stack_depth: int, any_hit: bool, rows: int):
+    net = _NET4 if arity <= 4 else _NET8
+    K = arity
+
+    def kernel(nodes, tri_pack, rays, out_t, out_tri, out_u, out_v):
+        def comp(c):
+            return rays[0, c, :].reshape(rows, _LANE)
+
+        ox, oy, oz = comp(0), comp(1), comp(2)
+        dx, dy, dz = comp(3), comp(4), comp(5)
+        tmin = comp(6)
+        tmax = comp(7)
+
+        def safe_inv(v):
+            tiny = jnp.where(v < 0, -1e-12, 1e-12)
+            return 1.0 / jnp.where(jnp.abs(v) < 1e-12, tiny, v)
+
+        ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+        sp_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, stack_depth), 1)
+
+        init = (
+            jnp.zeros((rows, 1), jnp.int32),  # cur node row (-1 = done)
+            jnp.zeros((rows, 1), jnp.int32),  # sp
+            jnp.full((rows, stack_depth), -1, jnp.int32),  # stack
+            tmax,
+            jnp.full((rows, _LANE), -1, jnp.int32),
+            jnp.zeros((rows, _LANE), jnp.float32),
+            jnp.zeros((rows, _LANE), jnp.float32),
+        )
+        n_tris_guard = tri_pack.shape[0] - 1
+
+        def cond(s):
+            return jnp.max(s[0]) >= 0
+
+        def body(s):
+            cur, sp, stack, best_t, best_tri, best_u, best_v = s
+            active = cur >= 0  # [rows, 1]
+            curc = jnp.clip(cur, 0, n_rows_tab - 1)
+            rowdat = jnp.concatenate(
+                [nodes[pl.ds(curc[r, 0], 1), :] for r in range(rows)],
+                axis=0)  # [rows, width]
+            is_leaf = rowdat[:, width - 1:width] > 0.5  # [rows, 1]
+            int_active = active & ~is_leaf
+            leaf_active = active & is_leaf
+
+            # ---- internal phase: test K children, ordered push ----------
+            def internal_fn(carry):
+                sp, stack = carry
+                nears, metas, valids = [], [], []
+                for k in range(K):
+                    base = 7 * k
+                    lox = rowdat[:, base + 0:base + 1]
+                    loy = rowdat[:, base + 1:base + 2]
+                    loz = rowdat[:, base + 2:base + 3]
+                    hix = rowdat[:, base + 3:base + 4]
+                    hiy = rowdat[:, base + 4:base + 5]
+                    hiz = rowdat[:, base + 5:base + 6]
+                    meta = jax.lax.bitcast_convert_type(
+                        rowdat[:, base + 6:base + 7], jnp.int32)
+                    tx0 = (lox - ox) * ix
+                    tx1 = (hix - ox) * ix
+                    ty0 = (loy - oy) * iy
+                    ty1 = (hiy - oy) * iy
+                    tz0 = (loz - oz) * iz
+                    tz1 = (hiz - oz) * iz
+                    near = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx0, tx1),
+                                    jnp.minimum(ty0, ty1)),
+                        jnp.maximum(jnp.minimum(tz0, tz1), tmin))
+                    far = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx0, tx1),
+                                    jnp.maximum(ty0, ty1)),
+                        jnp.minimum(jnp.maximum(tz0, tz1), best_t))
+                    hits = near <= far  # [rows, 128]
+                    ok = int_active & (meta >= 0) & jnp.any(
+                        hits, axis=1, keepdims=True)
+                    row_near = jnp.min(jnp.where(hits, near, jnp.inf),
+                                       axis=1, keepdims=True)
+                    nears.append(jnp.where(ok, row_near, jnp.inf))
+                    metas.append(meta)
+                    # i32, not bool: Mosaic can't lower selects on i1 vectors
+                    # ("Unsupported target bitwidth for truncation")
+                    valids.append(ok.astype(jnp.int32))
+                # ascending sort by near; invalid children park at +inf
+                for a, b in net:
+                    swap = nears[a] > nears[b]
+                    na = jnp.where(swap, nears[b], nears[a])
+                    nb = jnp.where(swap, nears[a], nears[b])
+                    ma = jnp.where(swap, metas[b], metas[a])
+                    mb = jnp.where(swap, metas[a], metas[b])
+                    va = jnp.where(swap, valids[b], valids[a])
+                    vb = jnp.where(swap, valids[a], valids[b])
+                    nears[a], nears[b] = na, nb
+                    metas[a], metas[b] = ma, mb
+                    valids[a], valids[b] = va, vb
+                # push far->near so pops come nearest-first
+                for srt in range(K - 1, 0, -1):
+                    do = valids[srt] > 0
+                    stack = jnp.where(do & (sp_iota == sp), metas[srt], stack)
+                    sp = sp + valids[srt]
+                nxt = jnp.where(valids[0] > 0, metas[0], -1)
+                return sp, stack, nxt
+
+            def internal_skip(carry):
+                sp, stack = carry
+                return sp, stack, jnp.full((rows, 1), -1, jnp.int32)
+
+            sp, stack, nxt_int = jax.lax.cond(
+                jnp.any(int_active), internal_fn, internal_skip, (sp, stack))
+
+            # ---- leaf phase: max_leaf triangle tests --------------------
+            def leaf_fn(carry):
+                best_t, best_tri, best_u, best_v = carry
+                packed = jax.lax.bitcast_convert_type(
+                    rowdat[:, 0:1], jnp.int32)
+                fst = packed & ((1 << _COUNT_SHIFT) - 1)
+                cnt = jnp.where(leaf_active, packed >> _COUNT_SHIFT, 0)
+                for j in range(max_leaf):
+                    tri_idx = jnp.clip(fst + j, 0, n_tris_guard)
+                    t8 = jnp.concatenate(
+                        [tri_pack[pl.ds(tri_idx[r, 0], 1), :]
+                         for r in range(rows)], axis=0)  # [rows, 16]
+                    p0x, p0y, p0z = t8[:, 0:1], t8[:, 1:2], t8[:, 2:3]
+                    e1x, e1y, e1z = t8[:, 3:4], t8[:, 4:5], t8[:, 5:6]
+                    e2x, e2y, e2z = t8[:, 6:7], t8[:, 7:8], t8[:, 8:9]
+                    pvx = dy * e2z - dz * e2y
+                    pvy = dz * e2x - dx * e2z
+                    pvz = dx * e2y - dy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    det_ok = jnp.abs(det) > 1e-12
+                    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+                    tvx = ox - p0x
+                    tvy = oy - p0y
+                    tvz = oz - p0z
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                    ok = (
+                        (j < cnt) & det_ok
+                        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                        & (t > tmin) & (t < best_t)
+                    )
+                    best_tri = jnp.where(ok, fst + j, best_tri)
+                    best_t = jnp.where(ok, t, best_t)
+                    best_u = jnp.where(ok, u, best_u)
+                    best_v = jnp.where(ok, v, best_v)
+                return best_t, best_tri, best_u, best_v
+
+            best_t, best_tri, best_u, best_v = jax.lax.cond(
+                jnp.any(leaf_active), leaf_fn, lambda c: c,
+                (best_t, best_tri, best_u, best_v))
+
+            # ---- advance: descend, else pop, else done ------------------
+            nxt = jnp.where(int_active, nxt_int, -1)
+            can_pop = (nxt < 0) & (sp > 0)
+            popped = jnp.max(
+                jnp.where(can_pop & (sp_iota == sp - 1), stack, -1),
+                axis=1, keepdims=True)
+            sp = sp - can_pop.astype(jnp.int32)
+            nxt = jnp.where(can_pop, popped, nxt)
+            if any_hit:
+                live = jnp.any((tmax > 0.0) & (best_tri < 0), axis=1,
+                               keepdims=True)
+                nxt = jnp.where(live, nxt, -1)
+            return (nxt, sp, stack, best_t, best_tri, best_u, best_v)
+
+        out = jax.lax.while_loop(cond, body, init)
+        _, _, _, best_t, best_tri, best_u, best_v = out
+        out_t[0] = best_t
+        out_tri[0] = best_tri
+        out_u[0] = best_u
+        out_v[0] = best_v
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_rows_tab", "arity", "width", "max_leaf",
+                     "stack_depth", "any_hit", "rows"))
+def _run(nodes, tri_pack, rays, n_rows_tab, arity, width, max_leaf,
+         stack_depth, any_hit, rows):
+    g = rays.shape[0]
+    tile = rows * _LANE
+    kernel = _make_kernel(n_rows_tab, arity, width, max_leaf, stack_depth,
+                          any_hit, rows)
+    out_shape = [
+        jax.ShapeDtypeStruct((g, rows, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, _LANE), jnp.int32),
+        jax.ShapeDtypeStruct((g, rows, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, _LANE), jnp.float32),
+    ]
+    out_block = pl.BlockSpec((1, rows, _LANE), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    grid_spec = pl.GridSpec(
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # nodes
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # tri_pack
+            pl.BlockSpec((1, 8, tile), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_block, out_block, out_block, out_block],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=jax.default_backend() != "tpu",
+    )(nodes, tri_pack, rays)
+
+
+def _traverse_widestack(bvh: WideRowBVH, tris: TriangleSoA, o, d, t_min,
+                        t_max, any_hit: bool, rows: int = ROWS):
+    n_rays = o.shape[0]
+    tile = rows * _LANE
+    g = -(-n_rays // tile)
+    n_pad = g * tile
+
+    if isinstance(bvh, BVH):
+        bvh = pack_widerows(bvh)  # eager-path convenience (host arrays only)
+    nodes = bvh.nodes
+    arity, width = bvh.arity, bvh.width
+    tri_pack = _tri_table_jnp(tris, bvh.max_leaf)
+    # ordered K-ary descent pushes at most K-1 per level
+    stack_depth = int(bvh.max_depth + 2) * max(arity - 1, 1)
+
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_rays,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_rays,))
+
+    def pad(x, fill):
+        if x.shape[0] == n_pad:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((n_pad - x.shape[0],) + x.shape[1:], fill, x.dtype)]
+        )
+
+    comps = jnp.stack(
+        [
+            pad(o[:, 0], 0.0), pad(o[:, 1], 0.0), pad(o[:, 2], 0.0),
+            pad(d[:, 0], 1.0), pad(d[:, 1], 0.0), pad(d[:, 2], 0.0),
+            pad(t_min, 0.0), pad(t_max, -1.0),
+        ],
+        axis=0,
+    )
+    rays = comps.reshape(8, g, tile).transpose(1, 0, 2)
+
+    best_t, best_tri, best_u, best_v = _run(
+        nodes, tri_pack, rays,
+        n_rows_tab=nodes.shape[0], arity=arity, width=width,
+        max_leaf=bvh.max_leaf, stack_depth=stack_depth, any_hit=any_hit,
+        rows=rows,
+    )
+    flat = lambda x: x.reshape(n_pad)[:n_rays]
+    best_tri = flat(best_tri)
+    return HitInfo(
+        t=flat(best_t), tri=best_tri, u=flat(best_u), v=flat(best_v),
+        hit=best_tri >= 0,
+    )
+
+
+def intersect_closest_widestack(bvh: WideRowBVH, tris: TriangleSoA, o, d,
+                                t_min=1e-4, t_max=1e30,
+                                rows: int = ROWS) -> HitInfo:
+    return _traverse_widestack(bvh, tris, o, d, t_min, t_max, any_hit=False,
+                               rows=rows)
+
+
+def intersect_any_widestack(bvh: WideRowBVH, tris: TriangleSoA, o, d,
+                            t_min=1e-4, t_max=1e30, rows: int = ROWS):
+    return _traverse_widestack(bvh, tris, o, d, t_min, t_max, any_hit=True,
+                               rows=rows).hit

@@ -155,10 +155,17 @@ def _traverse(bvh: BVH, tris: TriangleSoA, o, d, t_min, t_max, any_hit: bool,
 def intersect_closest(bvh, tris: TriangleSoA, o, d, t_min=1e-4, t_max=1e30,
                       max_leaf: int = 4) -> HitInfo:
     """Closest-hit query for a ray batch. o, d: [R, 3]. Dispatches on the
-    acceleration-structure type (stack-based wide BVH, or the TPU-friendly
-    stackless SkipBVH)."""
+    acceleration-structure type (stack-based wide BVH, the stackless
+    SkipBVH, or the packed wide-row table for the ordered-stack Pallas
+    kernel)."""
+    from gfxexp_tpu.accel.pallas_widestack import (
+        WideRowBVH,
+        intersect_closest_widestack,
+    )
     from gfxexp_tpu.accel.skiplink import SkipBVH
 
+    if isinstance(bvh, WideRowBVH):
+        return intersect_closest_widestack(bvh, tris, o, d, t_min, t_max)
     if isinstance(bvh, SkipBVH):
         if jax.default_backend() == "tpu":
             from gfxexp_tpu.accel.pallas_traverse import intersect_closest_pallas
@@ -174,8 +181,14 @@ def intersect_any(bvh, tris: TriangleSoA, o, d, t_min=1e-4, t_max=1e30,
                   max_leaf: int = 4) -> jnp.ndarray:
     """Shadow-ray query: returns occluded [R] bool (reference: visibility AH
     program, optix_pathtracing_kernels.cu:5)."""
+    from gfxexp_tpu.accel.pallas_widestack import (
+        WideRowBVH,
+        intersect_any_widestack,
+    )
     from gfxexp_tpu.accel.skiplink import SkipBVH
 
+    if isinstance(bvh, WideRowBVH):
+        return intersect_any_widestack(bvh, tris, o, d, t_min, t_max)
     if isinstance(bvh, SkipBVH):
         if jax.default_backend() == "tpu":
             from gfxexp_tpu.accel.pallas_traverse import intersect_any_pallas

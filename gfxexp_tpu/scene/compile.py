@@ -55,8 +55,9 @@ def compile_scene(
     builder: SceneBuilder, arity: int = 4, max_leaf: int = 4,
     traversal: str = "skip",
 ):
-    """traversal="skip" (default) produces the stackless SkipBVH — the layout
-    the TPU render path traverses (accel/skiplink.py rationale);
+    """traversal="skip" (default) produces the stackless SkipBVH;
+    traversal="widerow" produces the packed row table for the ordered-stack
+    Pallas kernel (accel/pallas_widestack.py — the fast TPU path);
     traversal="wide" produces the stack-based wide BVH."""
     scene = builder.compile()
     bvh, perm = build_bvh(
@@ -67,6 +68,10 @@ def compile_scene(
         max_leaf=max_leaf,
     )
     scene = apply_triangle_permutation(scene, perm)
+    if traversal == "widerow":
+        from gfxexp_tpu.accel.pallas_widestack import pack_widerows
+
+        return scene, pack_widerows(bvh)
     if traversal == "skip":
         from gfxexp_tpu.accel.skiplink import build_skip_links
 

@@ -175,3 +175,54 @@ def test_tiled_matches_bruteforce(rng_np):
     assert np.array_equal(np.asarray(ht.tri)[m], np.asarray(hr.tri)[m])
     occ = intersect_any_tiled(skip, soa, jnp.asarray(o), jnp.asarray(d), tile=64)
     assert np.array_equal(np.asarray(occ), np.asarray(hr.hit))
+
+
+def test_rowcursor_matches_bruteforce(rng_np):
+    """Row-cursor Pallas kernel (interpret mode on CPU) vs brute force."""
+    from gfxexp_tpu.accel.pallas_rowcursor import intersect_closest_rowcursor
+    from gfxexp_tpu.accel.skiplink import build_skip_links
+
+    p0, p1, p2 = _random_tri_soup(rng_np, 120)
+    bvh, perm = build_bvh(p0, p1 - p0, p2 - p0, arity=4)
+    soa = _make_soa(p0[perm], p1[perm], p2[perm])
+    skip = build_skip_links(
+        np.asarray(bvh.child_min), np.asarray(bvh.child_max),
+        np.asarray(bvh.child_idx), np.asarray(bvh.child_count))
+    n_rays = 300  # not a tile multiple
+    o = rng_np.uniform(-8, 8, size=(n_rays, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    hw = intersect_closest_rowcursor(skip, soa, jnp.asarray(o), jnp.asarray(d))
+    hr = intersect_closest_brute(soa, jnp.asarray(o), jnp.asarray(d))
+    assert np.array_equal(np.asarray(hw.hit), np.asarray(hr.hit))
+    m = np.asarray(hr.hit)
+    assert np.allclose(np.asarray(hw.t)[m], np.asarray(hr.t)[m], rtol=1e-4)
+    assert np.array_equal(np.asarray(hw.tri)[m], np.asarray(hr.tri)[m])
+
+
+@pytest.mark.parametrize("arity", [4, 8])
+def test_widestack_matches_bruteforce(rng_np, arity):
+    """Wide-node ordered-stack Pallas kernel (interpret mode on CPU) vs
+    brute force, plus any-hit consistency."""
+    from gfxexp_tpu.accel.pallas_widestack import (
+        intersect_any_widestack,
+        intersect_closest_widestack,
+        pack_widerows,
+    )
+
+    p0, p1, p2 = _random_tri_soup(rng_np, 120)
+    bvh, perm = build_bvh(p0, p1 - p0, p2 - p0, arity=arity)
+    soa = _make_soa(p0[perm], p1[perm], p2[perm])
+    wrow = pack_widerows(bvh)
+    n_rays = 300  # not a tile multiple
+    o = rng_np.uniform(-8, 8, size=(n_rays, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    hw = intersect_closest_widestack(wrow, soa, jnp.asarray(o), jnp.asarray(d))
+    hr = intersect_closest_brute(soa, jnp.asarray(o), jnp.asarray(d))
+    assert np.array_equal(np.asarray(hw.hit), np.asarray(hr.hit))
+    m = np.asarray(hr.hit)
+    assert np.allclose(np.asarray(hw.t)[m], np.asarray(hr.t)[m], rtol=1e-4)
+    assert np.array_equal(np.asarray(hw.tri)[m], np.asarray(hr.tri)[m])
+    occ = intersect_any_widestack(wrow, soa, jnp.asarray(o), jnp.asarray(d))
+    assert np.array_equal(np.asarray(occ), np.asarray(hr.hit))
