@@ -39,7 +39,7 @@ def build_bench_scene():
     from gfxexp_tpu.scene.compile import compile_scene
     from gfxexp_tpu.scene.loaders import load_obj
 
-    cache_file = os.path.join(_CACHE, "bench_scene_v3.pkl")
+    cache_file = os.path.join(_CACHE, "bench_scene_v5.pkl")
     if os.path.exists(cache_file):
         with open(cache_file, "rb") as f:
             return pickle.load(f)  # numpy pytrees; main() moves them on-device
@@ -68,7 +68,7 @@ def build_bench_scene():
         mat = b.add_lambert_material((0.3, 0.6, 0.3))
         b.add_instance(b.add_sphere(0.2, mat), affine(translation=[0.35, 0.2, 0.0]))
 
-    pair = compile_scene(b, arity=4, max_leaf=4)
+    pair = compile_scene(b, arity=4, max_leaf=4, traversal="widerow")
     os.makedirs(_CACHE, exist_ok=True)
     with open(cache_file, "wb") as f:
         import jax

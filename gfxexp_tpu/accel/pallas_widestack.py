@@ -2,13 +2,15 @@
 
 Third-generation TPU traversal kernel (after the tile-shared union walk in
 pallas_traverse.py and the binary row-cursor walk in pallas_rowcursor.py).
-Two structural wins over the binary skip-link row walk:
+Structural wins over the binary skip-link row walk:
 
 1. **Children are tested at the parent.** A K-ary node row packs all K child
    AABBs; one scalar row fetch + K slab tests on [ROWS, 128] vregs decides
    every child at once. The skip-link walk pays a full step (fetch + test)
    for every *missed* node too — here missed children cost nothing beyond
-   their slab test, so only genuinely hit nodes are ever visited.
+   their slab test, so only genuinely hit nodes are ever visited. Measured
+   on the 16k-tri bench scene: ~15 node visits per 128-ray row vs ~100+ for
+   the binary walk.
 
 2. **Ordered descent with a vectorized per-row stack.** Hit children are
    sorted by row-min entry distance (a K-element sorting network on [ROWS,1]
@@ -19,16 +21,23 @@ Two structural wins over the binary skip-link row walk:
    Nearest-first order tightens best_t early, and far subtrees then fail
    the `far >= near` test against the shrunken best_t wholesale.
 
-Leaves are separate rows tagged in the last column; a popped/descended leaf
-row runs `max_leaf` Moller-Trumbore tests for the whole row. Internal and
-leaf phases are both gated by `lax.cond` so a tile only pays for the phase
-some row actually needs.
+3. **Leaf triangles live inside the leaf row.** A leaf row carries its
+   max_leaf triangles (p0/e1/e2, 15 floats each) inline, so a leaf visit is
+   the SAME single row fetch as an internal visit — no extra per-triangle
+   loads. Measured: per-row dynamic VMEM loads are ~16 ns each and were the
+   dominant per-step cost when leaves fetched 4 triangle rows separately.
+
+Both phases run unconditionally with masks (`_USE_PHASE_CONDS = False`):
+lax.cond gates measured SLOWER than predicated always-execution on v5e.
 
 Replaces the reference's RT-core pipeline (OptiX, SURVEY.md §7 hard part
 #1); the packed child layout follows the spirit of the reference's wide
 nodes (common_shared.h:757 CompressedInternalNode_T) without the 8-bit
 quantization. Correctness oracle: intersect_closest_brute + the CPU
 interpret path used by tests/test_accel.py.
+
+Note: the row table bakes triangle positions (static scenes; animated
+scenes use the SkipBVH + device refit path).
 """
 
 from __future__ import annotations
@@ -46,27 +55,11 @@ from gfxexp_tpu.accel.traverse import HitInfo
 from gfxexp_tpu.scene.types import TriangleSoA
 
 _LANE = 128
-ROWS = 8  # 128-ray rows per tile
+ROWS = 32  # 128-ray rows per tile (32 measured best on v5e)
 _COUNT_SHIFT = 24
-
-
-@struct.dataclass
-class WideRowBVH:
-    """Packed row-table acceleration structure for the wide-stack kernel.
-
-    Built once at scene-compile time (pack_widerows — host numpy); the row
-    table is a plain device array so it rides the scene pytree through jit
-    as a traced arg (never closed over — CLAUDE.md)."""
-
-    nodes: jnp.ndarray  # [R, W] f32 packed rows
-    arity: int = struct.field(pytree_node=False, default=4)
-    width: int = struct.field(pytree_node=False, default=32)
-    max_leaf: int = struct.field(pytree_node=False, default=4)
-    max_depth: int = struct.field(pytree_node=False, default=32)
-
-    @property
-    def num_nodes(self):
-        return self.nodes.shape[0]
+# lax.cond phase gates: measured slower than always-execute-predicated on
+# v5e (branch overhead > the masked work it saves); kept for A/B experiments
+_USE_PHASE_CONDS = False
 
 # sorting networks (ascending), pairs applied in sequence
 _NET4 = ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2))
@@ -78,22 +71,48 @@ _NET8 = (
 )
 
 
-def pack_widerows(bvh: BVH) -> WideRowBVH:
-    """Flatten a wide BVH into one [R, W] f32 row table (host numpy, once
-    per scene).
+@struct.dataclass
+class WideRowBVH:
+    """Packed row-table acceleration structure for the wide-stack kernel.
 
-    Internal row (tag 0): child k at cols [7k, 7k+7) = lo.xyz hi.xyz
-    bitcast(child_row or -1). Leaf row (tag 1): col 0 =
-    bitcast(first | count << 24). Tag lives in the last column. W = 32 for
-    arity<=4, else 64."""
+    Built once at scene-compile time (pack_widerows — host numpy); the row
+    table is a plain device array so it rides the scene pytree through jit
+    as a traced arg (never closed over — CLAUDE.md).
+
+    Row format ([R, W] f32, W = 64 for arity<=8 & max_leaf<=4):
+    - internal (tag col W-1 == 0): child k at cols [7k, 7k+7) =
+      lo.xyz hi.xyz bitcast(child_row index, or -1 for an empty slot)
+    - leaf (tag col W-1 == 1): triangle j at cols [15j, 15j+9) =
+      p0.xyz e1.xyz e2.xyz; col W-4 = bitcast(first | count << 24) giving
+      the global triangle ids."""
+
+    nodes: jnp.ndarray  # [R, W] f32 packed rows
+    arity: int = struct.field(pytree_node=False, default=4)
+    width: int = struct.field(pytree_node=False, default=64)
+    max_leaf: int = struct.field(pytree_node=False, default=4)
+    max_depth: int = struct.field(pytree_node=False, default=32)
+
+    @property
+    def num_nodes(self):
+        return self.nodes.shape[0]
+
+
+def pack_widerows(bvh: BVH, tris: TriangleSoA) -> WideRowBVH:
+    """Flatten a wide BVH + its (leaf-order permuted) triangles into one
+    [R, W] f32 row table (host numpy, once per scene)."""
     import numpy as np
 
     child_min = np.asarray(bvh.child_min, np.float32)
     child_max = np.asarray(bvh.child_max, np.float32)
     child_idx = np.asarray(bvh.child_idx, np.int32)
     child_count = np.asarray(bvh.child_count, np.int32)
+    p0 = np.asarray(tris.p0, np.float32)
+    e1 = np.asarray(tris.e1, np.float32)
+    e2 = np.asarray(tris.e2, np.float32)
     n_int, arity = child_idx.shape
-    width = 32 if arity <= 4 else 64
+    max_leaf = int(bvh.max_leaf)
+    assert arity <= 8 and max_leaf * 15 + 4 <= 64, (arity, max_leaf)
+    width = 64
 
     # leaf child slots become rows appended after the internal rows
     is_leaf = child_count > 0
@@ -102,8 +121,8 @@ def pack_widerows(bvh: BVH) -> WideRowBVH:
     meta = np.where(
         is_leaf, n_int + leaf_id,
         np.where(child_count == 0, child_idx, -1)).astype(np.int32)
-    leaf_rows = (child_idx[is_leaf]
-                 | (child_count[is_leaf] << _COUNT_SHIFT)).astype(np.int32)
+    leaf_first = child_idx[is_leaf].astype(np.int32)
+    leaf_count = child_count[is_leaf].astype(np.int32)
 
     r = n_int + n_leaf
     tab = np.zeros((r, width), np.float32)
@@ -112,22 +131,18 @@ def pack_widerows(bvh: BVH) -> WideRowBVH:
         tab[:n_int, 7 * k + 3:7 * k + 6] = child_max[:, k]
         tab[:n_int, 7 * k + 6] = meta[:, k].view(np.float32)
     if n_leaf:
-        tab[n_int:, 0] = leaf_rows.view(np.float32)
+        n_tris = p0.shape[0]
+        for j in range(max_leaf):
+            ti = np.minimum(leaf_first + j, n_tris - 1)
+            tab[n_int:, 15 * j + 0:15 * j + 3] = p0[ti]
+            tab[n_int:, 15 * j + 3:15 * j + 6] = e1[ti]
+            tab[n_int:, 15 * j + 6:15 * j + 9] = e2[ti]
+        tab[n_int:, width - 4] = (
+            leaf_first | (leaf_count << _COUNT_SHIFT)).view(np.float32)
     tab[n_int:, width - 1] = 1.0  # tag: leaf
     return WideRowBVH(
         nodes=jnp.asarray(tab), arity=arity, width=width,
-        max_leaf=int(bvh.max_leaf), max_depth=int(bvh.max_depth))
-
-
-def _tri_table_jnp(tris: TriangleSoA, max_leaf: int):
-    """[T+pad, 16] traced build — follows animated triangle updates; XLA
-    fuses/CSEs the construction across traversal calls in one jit."""
-    t = tris.p0.shape[0]
-    tp = jnp.zeros((t + max_leaf, 16), jnp.float32)
-    tp = tp.at[:t, 0:3].set(tris.p0)
-    tp = tp.at[:t, 3:6].set(tris.e1)
-    tp = tp.at[:t, 6:9].set(tris.e2)
-    return tp
+        max_leaf=max_leaf, max_depth=int(bvh.max_depth))
 
 
 def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
@@ -135,7 +150,7 @@ def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
     net = _NET4 if arity <= 4 else _NET8
     K = arity
 
-    def kernel(nodes, tri_pack, rays, out_t, out_tri, out_u, out_v):
+    def kernel(nodes, rays, out_t, out_tri, out_u, out_v, out_it):
         def comp(c):
             return rays[0, c, :].reshape(rows, _LANE)
 
@@ -159,15 +174,20 @@ def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
             jnp.full((rows, _LANE), -1, jnp.int32),
             jnp.zeros((rows, _LANE), jnp.float32),
             jnp.zeros((rows, _LANE), jnp.float32),
+            # per-row iteration count [rows, LANE]. Initialized from
+            # runtime data, NOT a constant: a splat init gets a replicated
+            # Mosaic layout and the loop-carry relayout from the body's
+            # non-replicated value is then rejected.
+            (tmax * 0.0).astype(jnp.int32),
         )
-        n_tris_guard = tri_pack.shape[0] - 1
 
         def cond(s):
             return jnp.max(s[0]) >= 0
 
         def body(s):
-            cur, sp, stack, best_t, best_tri, best_u, best_v = s
+            cur, sp, stack, best_t, best_tri, best_u, best_v, iters = s
             active = cur >= 0  # [rows, 1]
+            iters = iters + active.astype(jnp.int32)
             curc = jnp.clip(cur, 0, n_rows_tab - 1)
             rowdat = jnp.concatenate(
                 [nodes[pl.ds(curc[r, 0], 1), :] for r in range(rows)],
@@ -211,8 +231,8 @@ def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
                                        axis=1, keepdims=True)
                     nears.append(jnp.where(ok, row_near, jnp.inf))
                     metas.append(meta)
-                    # i32, not bool: Mosaic can't lower selects on i1 vectors
-                    # ("Unsupported target bitwidth for truncation")
+                    # i32, not bool: Mosaic can't lower selects on i1
+                    # vectors ("Unsupported target bitwidth for truncation")
                     valids.append(ok.astype(jnp.int32))
                 # ascending sort by near; invalid children park at +inf
                 for a, b in net:
@@ -238,24 +258,31 @@ def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
                 sp, stack = carry
                 return sp, stack, jnp.full((rows, 1), -1, jnp.int32)
 
-            sp, stack, nxt_int = jax.lax.cond(
-                jnp.any(int_active), internal_fn, internal_skip, (sp, stack))
+            if _USE_PHASE_CONDS:
+                sp, stack, nxt_int = jax.lax.cond(
+                    jnp.any(int_active), internal_fn, internal_skip,
+                    (sp, stack))
+            else:
+                sp, stack, nxt_int = internal_fn((sp, stack))
 
-            # ---- leaf phase: max_leaf triangle tests --------------------
+            # ---- leaf phase: triangles inline in the row ----------------
             def leaf_fn(carry):
                 best_t, best_tri, best_u, best_v = carry
                 packed = jax.lax.bitcast_convert_type(
-                    rowdat[:, 0:1], jnp.int32)
+                    rowdat[:, width - 4:width - 3], jnp.int32)
                 fst = packed & ((1 << _COUNT_SHIFT) - 1)
                 cnt = jnp.where(leaf_active, packed >> _COUNT_SHIFT, 0)
                 for j in range(max_leaf):
-                    tri_idx = jnp.clip(fst + j, 0, n_tris_guard)
-                    t8 = jnp.concatenate(
-                        [tri_pack[pl.ds(tri_idx[r, 0], 1), :]
-                         for r in range(rows)], axis=0)  # [rows, 16]
-                    p0x, p0y, p0z = t8[:, 0:1], t8[:, 1:2], t8[:, 2:3]
-                    e1x, e1y, e1z = t8[:, 3:4], t8[:, 4:5], t8[:, 5:6]
-                    e2x, e2y, e2z = t8[:, 6:7], t8[:, 7:8], t8[:, 8:9]
+                    base = 15 * j
+                    p0x = rowdat[:, base + 0:base + 1]
+                    p0y = rowdat[:, base + 1:base + 2]
+                    p0z = rowdat[:, base + 2:base + 3]
+                    e1x = rowdat[:, base + 3:base + 4]
+                    e1y = rowdat[:, base + 4:base + 5]
+                    e1z = rowdat[:, base + 5:base + 6]
+                    e2x = rowdat[:, base + 6:base + 7]
+                    e2y = rowdat[:, base + 7:base + 8]
+                    e2z = rowdat[:, base + 8:base + 9]
                     pvx = dy * e2z - dz * e2y
                     pvy = dz * e2x - dx * e2z
                     pvz = dx * e2y - dy * e2x
@@ -282,9 +309,13 @@ def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
                     best_v = jnp.where(ok, v, best_v)
                 return best_t, best_tri, best_u, best_v
 
-            best_t, best_tri, best_u, best_v = jax.lax.cond(
-                jnp.any(leaf_active), leaf_fn, lambda c: c,
-                (best_t, best_tri, best_u, best_v))
+            if _USE_PHASE_CONDS:
+                best_t, best_tri, best_u, best_v = jax.lax.cond(
+                    jnp.any(leaf_active), leaf_fn, lambda c: c,
+                    (best_t, best_tri, best_u, best_v))
+            else:
+                best_t, best_tri, best_u, best_v = leaf_fn(
+                    (best_t, best_tri, best_u, best_v))
 
             # ---- advance: descend, else pop, else done ------------------
             nxt = jnp.where(int_active, nxt_int, -1)
@@ -298,14 +329,15 @@ def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
                 live = jnp.any((tmax > 0.0) & (best_tri < 0), axis=1,
                                keepdims=True)
                 nxt = jnp.where(live, nxt, -1)
-            return (nxt, sp, stack, best_t, best_tri, best_u, best_v)
+            return (nxt, sp, stack, best_t, best_tri, best_u, best_v, iters)
 
         out = jax.lax.while_loop(cond, body, init)
-        _, _, _, best_t, best_tri, best_u, best_v = out
+        _, _, _, best_t, best_tri, best_u, best_v, iters = out
         out_t[0] = best_t
         out_tri[0] = best_tri
         out_u[0] = best_u
         out_v[0] = best_v
+        out_it[0] = iters
 
     return kernel
 
@@ -314,7 +346,7 @@ def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
     jax.jit,
     static_argnames=("n_rows_tab", "arity", "width", "max_leaf",
                      "stack_depth", "any_hit", "rows"))
-def _run(nodes, tri_pack, rays, n_rows_tab, arity, width, max_leaf,
+def _run(nodes, rays, n_rows_tab, arity, width, max_leaf,
          stack_depth, any_hit, rows):
     g = rays.shape[0]
     tile = rows * _LANE
@@ -325,6 +357,7 @@ def _run(nodes, tri_pack, rays, n_rows_tab, arity, width, max_leaf,
         jax.ShapeDtypeStruct((g, rows, _LANE), jnp.int32),
         jax.ShapeDtypeStruct((g, rows, _LANE), jnp.float32),
         jax.ShapeDtypeStruct((g, rows, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, _LANE), jnp.int32),  # iterations
     ]
     out_block = pl.BlockSpec((1, rows, _LANE), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -332,32 +365,29 @@ def _run(nodes, tri_pack, rays, n_rows_tab, arity, width, max_leaf,
         grid=(g,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # nodes
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # tri_pack
             pl.BlockSpec((1, 8, tile), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[out_block, out_block, out_block, out_block],
+        out_specs=[out_block] * 5,
     )
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=jax.default_backend() != "tpu",
-    )(nodes, tri_pack, rays)
+    )(nodes, rays)
 
 
 def _traverse_widestack(bvh: WideRowBVH, tris: TriangleSoA, o, d, t_min,
-                        t_max, any_hit: bool, rows: int = ROWS):
+                        t_max, any_hit: bool, rows: int = ROWS,
+                        with_stats: bool = False):
     n_rays = o.shape[0]
     tile = rows * _LANE
     g = -(-n_rays // tile)
     n_pad = g * tile
 
-    if isinstance(bvh, BVH):
-        bvh = pack_widerows(bvh)  # eager-path convenience (host arrays only)
     nodes = bvh.nodes
     arity, width = bvh.arity, bvh.width
-    tri_pack = _tri_table_jnp(tris, bvh.max_leaf)
     # ordered K-ary descent pushes at most K-1 per level
     stack_depth = int(bvh.max_depth + 2) * max(arity - 1, 1)
 
@@ -381,25 +411,30 @@ def _traverse_widestack(bvh: WideRowBVH, tris: TriangleSoA, o, d, t_min,
     )
     rays = comps.reshape(8, g, tile).transpose(1, 0, 2)
 
-    best_t, best_tri, best_u, best_v = _run(
-        nodes, tri_pack, rays,
+    best_t, best_tri, best_u, best_v, iters = _run(
+        nodes, rays,
         n_rows_tab=nodes.shape[0], arity=arity, width=width,
         max_leaf=bvh.max_leaf, stack_depth=stack_depth, any_hit=any_hit,
         rows=rows,
     )
     flat = lambda x: x.reshape(n_pad)[:n_rays]
     best_tri = flat(best_tri)
-    return HitInfo(
+    hit = HitInfo(
         t=flat(best_t), tri=best_tri, u=flat(best_u), v=flat(best_v),
         hit=best_tri >= 0,
     )
+    if with_stats:
+        return hit, flat(iters)  # per-ray row iteration count
+    return hit
 
 
 def intersect_closest_widestack(bvh: WideRowBVH, tris: TriangleSoA, o, d,
-                                t_min=1e-4, t_max=1e30,
-                                rows: int = ROWS) -> HitInfo:
+                                t_min=1e-4, t_max=1e30, rows: int = ROWS,
+                                with_stats: bool = False) -> HitInfo:
+    """with_stats=True additionally returns per-ray row-iteration counts
+    (the reference's TraversalStats heatmap analogue, tfdm_shared.h:33)."""
     return _traverse_widestack(bvh, tris, o, d, t_min, t_max, any_hit=False,
-                               rows=rows)
+                               rows=rows, with_stats=with_stats)
 
 
 def intersect_any_widestack(bvh: WideRowBVH, tris: TriangleSoA, o, d,

@@ -79,8 +79,10 @@ class AliasTable(NamedTuple):
     integral: jnp.ndarray  # []
 
 
-def build_alias_table(weights: np.ndarray) -> AliasTable:
-    """Host-side O(n) Vose construction from non-negative weights [n]."""
+def vose_alias_arrays(weights: np.ndarray):
+    """Host-side O(n) Vose construction; returns numpy (pmf, prob, alias,
+    integral). Shared by build_alias_table and the scene builder's
+    segmented per-unit light tables."""
     w = np.maximum(np.asarray(weights, np.float64), 0.0)
     n = w.shape[0]
     integral = w.sum()
@@ -102,6 +104,12 @@ def build_alias_table(weights: np.ndarray) -> AliasTable:
         (small if scaled[l] < 1.0 else large).append(l)
     for i in large + small:
         prob[i] = 1.0
+    return p, prob, alias, integral
+
+
+def build_alias_table(weights: np.ndarray) -> AliasTable:
+    """Host-side O(n) Vose construction from non-negative weights [n]."""
+    p, prob, alias, integral = vose_alias_arrays(weights)
     return AliasTable(
         pmf=jnp.asarray(p, jnp.float32),
         prob=jnp.asarray(prob, jnp.float32),

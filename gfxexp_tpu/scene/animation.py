@@ -207,9 +207,16 @@ def rebuild_light_distributions(scene: SceneData) -> SceneData:
             light_tri_cdf=cdf_lo,
             light_tri_pmf=pmf_traversal,
             emissive_importance=seg_sum,
+            # alias tables are host-built (sequential Vose); after a device
+            # rebuild they are stale, so drop them — sampling falls back to
+            # the CDF binary-search path
+            light_tri_alias_prob=None,
+            light_tri_alias_local=None,
         ),
         light_unit_cdf=unit_cdf,
         light_unit_pmf=unit_pmf,
+        light_unit_alias_prob=None,
+        light_unit_alias_idx=None,
         total_emissive_importance=total,
     )
 

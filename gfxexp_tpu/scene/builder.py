@@ -21,7 +21,7 @@ from typing import List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from gfxexp_tpu.core.distributions import build_continuous_2d
+from gfxexp_tpu.core.distributions import build_continuous_2d, vose_alias_arrays
 from gfxexp_tpu.core.math import np_normalize
 from gfxexp_tpu.scene.types import (
     BSDF_DIFFUSE_SPECULAR,
@@ -290,6 +290,7 @@ class SceneBuilder:
         unit_tri_offset, unit_tri_count = [], []
         unit_importance = []
         tri_pmf_chunks, tri_cdf_chunks = [], []
+        tri_aprob_chunks, tri_aidx_chunks = [], []
         inst_transform, inst_scale = [], []
 
         tri_cursor = 0
@@ -345,6 +346,11 @@ class SceneBuilder:
                 cdf = np.concatenate([[0.0], np.cumsum(pmf)[:-1]])
                 tri_pmf_chunks.append(pmf.astype(np.float32))
                 tri_cdf_chunks.append(cdf.astype(np.float32))
+                # O(1) Walker alias selection (reference:
+                # USE_WALKER_ALIAS_METHOD, common_shared.h:22); local indices
+                _, a_prob, a_idx, _ = vose_alias_arrays(w)
+                tri_aprob_chunks.append(a_prob.astype(np.float32))
+                tri_aidx_chunks.append(a_idx.astype(np.int32))
 
                 unit_material.append(g.material)
                 unit_instance.append(inst_id)
@@ -369,6 +375,7 @@ class SceneBuilder:
         total_imp = unit_importance.sum()
         unit_pmf = unit_importance / total_imp if total_imp > 0 else np.zeros_like(unit_importance)
         unit_cdf = np.concatenate([[0.0], np.cumsum(unit_pmf)])
+        _, unit_aprob, unit_aidx, _ = vose_alias_arrays(unit_importance)
 
         n_total_tris = tri_cursor
         units = UnitTable(
@@ -380,6 +387,10 @@ class SceneBuilder:
             light_tri_index=np.arange(n_total_tris, dtype=np.int32),
             light_tri_pmf=np.asarray(np.concatenate(tri_pmf_chunks), np.float32),
             emissive_importance=np.asarray(unit_importance, np.float32),
+            light_tri_alias_prob=np.asarray(
+                np.concatenate(tri_aprob_chunks), np.float32),
+            light_tri_alias_local=np.asarray(
+                np.concatenate(tri_aidx_chunks), np.int32),
         )
 
         transforms = np.stack(inst_transform).astype(np.float32)
@@ -435,6 +446,8 @@ class SceneBuilder:
             instances=instances,
             light_unit_cdf=np.asarray(unit_cdf, np.float32),
             light_unit_pmf=np.asarray(unit_pmf, np.float32),
+            light_unit_alias_prob=np.asarray(unit_aprob, np.float32),
+            light_unit_alias_idx=np.asarray(unit_aidx, np.int32),
             total_emissive_importance=np.float32(total_imp),
             env=env,
             object_triangles=object_triangles,

@@ -71,7 +71,7 @@ def compile_scene(
     if traversal == "widerow":
         from gfxexp_tpu.accel.pallas_widestack import pack_widerows
 
-        return scene, pack_widerows(bvh)
+        return scene, pack_widerows(bvh, scene.triangles)
     if traversal == "skip":
         from gfxexp_tpu.accel.skiplink import build_skip_links
 

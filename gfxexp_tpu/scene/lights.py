@@ -67,6 +67,62 @@ def _segment_searchsorted(cdf_flat, offset, count, u, max_log2=20):
     return lo
 
 
+def _alias_pick(prob, alias, idx_base, n, u):
+    """Walker alias draw over a window of `n` buckets starting at idx_base
+    in the flat (prob, alias) arrays; alias entries are LOCAL indices.
+    Returns (local index, remapped uniform). O(1): two gathers, vs ~20
+    sequential gathers for the windowed binary search — the difference is
+    most of NEE's cost on TPU (measured 88 ms -> see pathtrace NEE note)."""
+    scaled = u * n.astype(jnp.float32)
+    bucket = jnp.clip(scaled.astype(jnp.int32), 0, jnp.maximum(n - 1, 0))
+    frac = scaled - bucket.astype(jnp.float32)
+    p = prob[idx_base + bucket]
+    keep = frac < p
+    local = jnp.where(keep, bucket, alias[idx_base + bucket])
+    # conditional-uniform remap so the next stage can reuse the draw
+    # (reference remaps through the CDF bin the same way)
+    u_re = jnp.where(keep, frac / jnp.maximum(p, 1e-12),
+                     (frac - p) / jnp.maximum(1.0 - p, 1e-12))
+    return local, jnp.clip(u_re, 0.0, 1.0 - 1e-7)
+
+
+def _select_emissive_triangle(scene: SceneData, u_sel):
+    """Two-level emissive selection (unit, then triangle within the unit).
+    Uses the O(1) alias tables when present (host-compiled scenes), else the
+    CDF binary-search path (device-rebuilt light distributions —
+    scene/animation.py). Returns (unit, tri, unit_pmf, tri_pmf)."""
+    units = scene.units
+    if scene.light_unit_alias_prob is not None:
+        nu = jnp.asarray(scene.num_units, jnp.int32)
+        unit, u_re = _alias_pick(
+            scene.light_unit_alias_prob, scene.light_unit_alias_idx,
+            jnp.zeros((), jnp.int32), jnp.broadcast_to(nu, u_sel.shape),
+            u_sel)
+    else:
+        unit = jnp.clip(
+            jnp.searchsorted(scene.light_unit_cdf, u_sel, side="right") - 1,
+            0, scene.num_units - 1)
+        lo = scene.light_unit_cdf[unit]
+        width = scene.light_unit_cdf[unit + 1] - lo
+        u_re = jnp.clip(
+            jnp.where(width > 0,
+                      (u_sel - lo) / jnp.where(width > 0, width, 1.0), 0.0),
+            0.0, 1.0 - 1e-7)
+    unit_pmf = scene.light_unit_pmf[unit]
+    offset = units.tri_offset[unit]
+    count = units.tri_count[unit]
+    if units.light_tri_alias_prob is not None:
+        local, _ = _alias_pick(units.light_tri_alias_prob,
+                               units.light_tri_alias_local, offset, count,
+                               u_re)
+    else:
+        local = _segment_searchsorted(units.light_tri_cdf, offset, count,
+                                      u_re)
+    tri = units.light_tri_index[offset + local]
+    tri_pmf = units.light_tri_pmf[tri]
+    return unit, tri, unit_pmf, tri_pmf
+
+
 def env_dir_from_uv(env, u, v):
     """(u, v) in [0,1)^2 -> world direction (y-up lat-long)."""
     phi = 2.0 * _PI * u - env.rotation
@@ -128,27 +184,7 @@ def sample_surface_light(scene: SceneData, u_sel, u0, u1) -> LightSample:
     the unit's CDF, position via the square->triangle map."""
     tris = scene.triangles
     units = scene.units
-
-    unit = jnp.clip(
-        jnp.searchsorted(scene.light_unit_cdf, u_sel, side="right") - 1,
-        0,
-        scene.num_units - 1,
-    )
-    unit_pmf = scene.light_unit_pmf[unit]
-    # remap u_sel within the unit bin to reuse for triangle selection
-    lo = scene.light_unit_cdf[unit]
-    width = scene.light_unit_cdf[unit + 1] - lo
-    u_tri = jnp.clip(
-        jnp.where(width > 0, (u_sel - lo) / jnp.where(width > 0, width, 1.0), 0.0),
-        0.0,
-        1.0 - 1e-7,
-    )
-
-    offset = units.tri_offset[unit]
-    count = units.tri_count[unit]
-    local = _segment_searchsorted(units.light_tri_cdf, offset, count, u_tri)
-    tri = units.light_tri_index[offset + local]  # light order -> traversal order
-    tri_pmf = units.light_tri_pmf[tri]
+    unit, tri, unit_pmf, tri_pmf = _select_emissive_triangle(scene, u_sel)
 
     b_a, b_b = _square_to_triangle(u0, u1)
     p0 = tris.p0[tri]
@@ -192,21 +228,7 @@ def sample_surface_light_solid_angle(scene: SceneData, shading_point,
     measure so it composes with the rest of the light machinery)."""
     tris = scene.triangles
     units = scene.units
-
-    unit = jnp.clip(
-        jnp.searchsorted(scene.light_unit_cdf, u_sel, side="right") - 1,
-        0, scene.num_units - 1)
-    unit_pmf = scene.light_unit_pmf[unit]
-    lo = scene.light_unit_cdf[unit]
-    width = scene.light_unit_cdf[unit + 1] - lo
-    u_tri = jnp.clip(
-        jnp.where(width > 0, (u_sel - lo) / jnp.where(width > 0, width, 1.0), 0.0),
-        0.0, 1.0 - 1e-7)
-    offset = units.tri_offset[unit]
-    count = units.tri_count[unit]
-    local = _segment_searchsorted(units.light_tri_cdf, offset, count, u_tri)
-    tri = units.light_tri_index[offset + local]
-    tri_pmf = units.light_tri_pmf[tri]
+    unit, tri, unit_pmf, tri_pmf = _select_emissive_triangle(scene, u_sel)
     light_prob = unit_pmf * tri_pmf
 
     p_a = tris.p0[tri]

@@ -103,6 +103,14 @@ class UnitTable:
     light_tri_index: jnp.ndarray  # [T] int32 light-order -> traversal order
     light_tri_pmf: jnp.ndarray  # [T] pmf within its unit, indexed by TRAVERSAL id
     emissive_importance: jnp.ndarray  # [U] sum of per-tri importances (area x luminance)
+    # Segmented Walker alias tables over each unit's triangles (reference:
+    # USE_WALKER_ALIAS_METHOD, common_shared.h:22) — O(1) selection vs the
+    # O(log n) windowed binary search, which costs ~20 sequential per-lane
+    # gathers per NEE on TPU. Present after host compile; None after a
+    # device-side light rebuild (scene/animation.py), which falls back to
+    # the CDF path.
+    light_tri_alias_prob: Optional[jnp.ndarray] = None  # [T] keep probability
+    light_tri_alias_local: Optional[jnp.ndarray] = None  # [T] local alias idx
 
 
 @struct.dataclass
@@ -161,6 +169,10 @@ class SceneData:
     env: Optional[EnvLight] = None
     object_triangles: Optional[ObjectTriangles] = None
     textures: Optional[object] = None  # scene/textures.py TextureAtlas
+    # scene-level alias table over units — O(1) unit selection (see the
+    # UnitTable alias note); None after device-side light rebuilds
+    light_unit_alias_prob: Optional[jnp.ndarray] = None
+    light_unit_alias_idx: Optional[jnp.ndarray] = None
 
     @property
     def num_triangles(self):

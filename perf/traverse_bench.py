@@ -24,7 +24,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-REPS = 6
+REPS = 24
 
 
 def sort_key(o, d, lo, hi):
@@ -75,6 +75,12 @@ def make_rays(scene, bvh, n, kind, seed=0):
                       target=[0.0, 0.2, 0.0])
     jx = jnp.full((n,), 0.5, jnp.float32)
     o, d = generate_rays(cam, side, side, jx, jx)
+    # block-major lane order (16x16 blocks), exactly like render_lanes: a
+    # 128-ray row is then a 16x8 screen block, not a thin raster strip
+    from gfxexp_tpu.render.camera import pixel_from_lane
+
+    order = pixel_from_lane(jnp.arange(n, dtype=jnp.uint32), side, side)
+    o, d = o[order], d[order]
     if kind == "primary":
         return o, d
     # bounce-like: origins at primary-hit surface points, cosine directions
@@ -141,12 +147,46 @@ def main():
 
     from gfxexp_tpu.accel.pallas_traverse import intersect_closest_pallas
     from gfxexp_tpu.accel.pallas_rowcursor import intersect_closest_rowcursor
+    from gfxexp_tpu.accel.pallas_widestack import (
+        intersect_closest_widestack,
+        pack_widerows,
+    )
+    from gfxexp_tpu.accel.bvh_build import build_bvh
+
+    # wide-row tables need the *wide* BVH; rebuild from the (already
+    # permuted) scene triangles — the rebuild re-permutes, so each ws
+    # variant closes over its own consistent (table, tris) pair and
+    # cross-variant agreement is checked on hit.t, not tri id
+    wide_cache = {}
+
+    def widestack_fn(arity, max_leaf, rows):
+        key = (arity, max_leaf)
+        if key not in wide_cache:  # built EAGERLY here (host numpy)
+            p0 = np.asarray(tris.p0)
+            e1 = np.asarray(tris.e1)
+            e2 = np.asarray(tris.e2)
+            wbvh, perm = build_bvh(p0, e1, e2, arity=arity,
+                                   max_leaf=max_leaf)
+            tris2 = tris.replace(
+                p0=jnp.asarray(p0[perm]), e1=jnp.asarray(e1[perm]),
+                e2=jnp.asarray(e2[perm]))
+            wide_cache[key] = (pack_widerows(wbvh, tris2), tris2)
+        wrow, tris2 = wide_cache[key]
+
+        def fn(bvh_, tris_, o, d):
+            return intersect_closest_widestack(wrow, tris2, o, d, rows=rows)
+
+        return fn
 
     base = {
         "tile": intersect_closest_pallas,
         "row8": functools.partial(intersect_closest_rowcursor, rows=8),
         "row16": functools.partial(intersect_closest_rowcursor, rows=16),
         "row32": functools.partial(intersect_closest_rowcursor, rows=32),
+        "ws4x4r8": widestack_fn(4, 4, 8),
+        "ws4x4r16": widestack_fn(4, 4, 16),
+        "ws8x4r8": widestack_fn(8, 4, 8),
+        "ws4x4r32": widestack_fn(4, 4, 32),
     }
     variants = {}
     for k, v in base.items():
@@ -165,14 +205,19 @@ def main():
             print(f"{vname:12s} {kind:8s} {mrays:8.2f} Mrays/s "
                   f"(hit {hitrate:.3f})", flush=True)
             hit = variants[vname](bvh, tris, o, d)
-            tri = np.asarray(hit.tri)
+            # agreement on (hit mask, t): tri ids differ across variants
+            # whose builds permute triangles differently
+            sig = (np.asarray(hit.hit), np.asarray(hit.t))
             if kind in ref:
-                agree = float(np.mean(tri == ref[kind]))
+                h0, t0 = ref[kind]
+                agree = float(np.mean(
+                    (sig[0] == h0)
+                    & (~h0 | np.isclose(sig[1], t0, rtol=1e-3, atol=1e-4))))
                 if agree < 1.0:
                     print(f"  !! {vname} {kind} agreement {agree:.5f}",
                           flush=True)
             else:
-                ref[kind] = tri
+                ref[kind] = sig
 
 
 if __name__ == "__main__":

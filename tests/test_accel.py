@@ -213,7 +213,7 @@ def test_widestack_matches_bruteforce(rng_np, arity):
     p0, p1, p2 = _random_tri_soup(rng_np, 120)
     bvh, perm = build_bvh(p0, p1 - p0, p2 - p0, arity=arity)
     soa = _make_soa(p0[perm], p1[perm], p2[perm])
-    wrow = pack_widerows(bvh)
+    wrow = pack_widerows(bvh, soa)
     n_rays = 300  # not a tile multiple
     o = rng_np.uniform(-8, 8, size=(n_rays, 3)).astype(np.float32)
     d = rng_np.normal(size=(n_rays, 3)).astype(np.float32)
