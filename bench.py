@@ -27,8 +27,8 @@ _REF_DATA = "/root/reference/data"
 
 WIDTH = HEIGHT = 512
 MAX_PATH_LENGTH = 5
-WARMUP_SAMPLES = 2
-TIMED_SAMPLES = 8
+WARMUP_SAMPLES = 6  # this runtime's first ~4 executions of a program run 2-6x slow
+TIMED_SAMPLES = 16
 TARGET_MRAYS = 100.0
 
 

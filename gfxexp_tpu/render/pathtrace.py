@@ -76,6 +76,14 @@ class PTConfig:
     # per-tile union footprint of the tile-shared traverser (SURVEY.md §7
     # "ray sorting/binning for coherence")
     sort_secondary_rays: bool = False
+    # stable-partition lanes alive-first at each bounce: dead lanes scattered
+    # across 128-ray rows force whole-row walks for a few live rays; after
+    # compaction dead rows exit the traversal in one step. Image is
+    # bit-identical (RNG is keyed by pixel, not lane). MEASURED SLOWER on
+    # v5e (XLA's 1D scatter + 10 gathers of 262k lanes cost more than the
+    # row-exit savings: 326 vs 236 ms/sample on the bench scene) — default
+    # off; revisit if compaction moves into a Pallas kernel.
+    compact_rays: bool = False
     # solid-angle triangle sampling for NEE (reference:
     # useSolidAngleSampling, off by default like the reference)
     use_solid_angle_sampling: bool = False
@@ -308,7 +316,21 @@ def render_lanes(
     # byte-identical output (RNG is counter-based, streams keyed by bounce).
     def step(state, bounce, first: bool, collect_only: bool):
         (ray_o, ray_d, throughput, alive, prev_pdf, contribution,
-         rays_traced, nee_aux) = state
+         pixel, lane_ids, rays_traced, nee_aux) = state
+        if cfg.compact_rays and not first:
+            # stable alive-first partition: dead lanes collect into whole
+            # rows, which exit the row-traversal kernels in one step. O(n)
+            # cumsum + one scatter; output identical (RNG keys by pixel).
+            a = alive.astype(jnp.int32)
+            n_alive = jnp.cumsum(a)
+            pos = jnp.where(alive, n_alive - 1,
+                            n_alive[-1] + jnp.cumsum(1 - a) - 1)
+            order = jnp.zeros((n,), jnp.int32).at[pos].set(
+                jnp.arange(n, dtype=jnp.int32))
+            ray_o, ray_d = ray_o[order], ray_d[order]
+            throughput, alive = throughput[order], alive[order]
+            prev_pdf, contribution = prev_pdf[order], contribution[order]
+            pixel, lane_ids = pixel[order], lane_ids[order]
         rs = SampleStream(pixel, sample_idx, stream=bounce)
         if cfg.count_rays:
             rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
@@ -398,7 +420,7 @@ def render_lanes(
             throughput = throughput / jnp.maximum(cont_prob, 1e-8)[..., None]
         if collect_only:
             return (ray_o, ray_d, throughput, alive, prev_pdf, contribution,
-                    rays_traced, nee_aux)
+                    pixel, lane_ids, rays_traced, nee_aux)
 
         # ---- NEE ---------------------------------------------------------
         params = material_params_textured(
@@ -431,11 +453,12 @@ def render_lanes(
         alive = alive & valid
         v_in = to_world(t, b, nrm, v_in_local)
         return (pos_off, normalize(v_in), throughput, alive, pdf, contribution,
-                rays_traced, nee_aux)
+                pixel, lane_ids, rays_traced, nee_aux)
 
     L = cfg.max_path_length
+    lane_ids = jnp.arange(n, dtype=jnp.int32)
     state = (ray_o, ray_d, throughput, alive, prev_pdf, contribution,
-             rays_traced, nee_aux)
+             pixel, lane_ids, rays_traced, nee_aux)
     state = step(state, jnp.uint32(1), first=True, collect_only=(L == 1))
     if L > 2:
         def scan_body(s, bounce):
@@ -445,7 +468,12 @@ def render_lanes(
             scan_body, state, jnp.arange(2, L, dtype=jnp.uint32))
     if L > 1:
         state = step(state, jnp.uint32(L), first=False, collect_only=True)
-    contribution, rays_traced, final_aux = state[5], state[6], state[7]
+    contribution, lane_ids = state[5], state[7]
+    rays_traced, final_aux = state[8], state[9]
+    if cfg.compact_rays and L > 1:
+        # undo the cumulative alive-first permutations
+        contribution = jnp.zeros_like(contribution).at[lane_ids].set(
+            contribution)
 
     result = (contribution, rays_traced) if cfg.count_rays else contribution
     if nee_aux is not None:
