@@ -86,29 +86,31 @@ class WideRowBVH:
       p0.xyz e1.xyz e2.xyz; col W-4 = bitcast(first | count << 24) giving
       the global triangle ids."""
 
-    nodes: jnp.ndarray  # [R, W] f32 packed rows
+    nodes: jnp.ndarray  # [C, R, W] f32 packed rows (C spatial chunks)
     arity: int = struct.field(pytree_node=False, default=4)
     width: int = struct.field(pytree_node=False, default=64)
     max_leaf: int = struct.field(pytree_node=False, default=4)
     max_depth: int = struct.field(pytree_node=False, default=32)
 
     @property
-    def num_nodes(self):
+    def num_chunks(self):
         return self.nodes.shape[0]
 
+    @property
+    def num_nodes(self):
+        return self.nodes.shape[0] * self.nodes.shape[1]
 
-def pack_widerows(bvh: BVH, tris: TriangleSoA) -> WideRowBVH:
-    """Flatten a wide BVH + its (leaf-order permuted) triangles into one
-    [R, W] f32 row table (host numpy, once per scene)."""
+
+def _pack_one(bvh: BVH, p0, e1, e2, tri_offset: int = 0):
+    """Flatten one wide BVH + its (chunk-local, leaf-order) triangles into
+    an [r, 64] numpy row table. Leaf rows bake GLOBAL triangle ids as
+    (tri_offset + local first)."""
     import numpy as np
 
     child_min = np.asarray(bvh.child_min, np.float32)
     child_max = np.asarray(bvh.child_max, np.float32)
     child_idx = np.asarray(bvh.child_idx, np.int32)
     child_count = np.asarray(bvh.child_count, np.int32)
-    p0 = np.asarray(tris.p0, np.float32)
-    e1 = np.asarray(tris.e1, np.float32)
-    e2 = np.asarray(tris.e2, np.float32)
     n_int, arity = child_idx.shape
     max_leaf = int(bvh.max_leaf)
     assert arity <= 8 and max_leaf * 15 + 4 <= 64, (arity, max_leaf)
@@ -138,11 +140,105 @@ def pack_widerows(bvh: BVH, tris: TriangleSoA) -> WideRowBVH:
             tab[n_int:, 15 * j + 3:15 * j + 6] = e1[ti]
             tab[n_int:, 15 * j + 6:15 * j + 9] = e2[ti]
         tab[n_int:, width - 4] = (
-            leaf_first | (leaf_count << _COUNT_SHIFT)).view(np.float32)
+            (leaf_first + tri_offset)
+            | (leaf_count << _COUNT_SHIFT)).view(np.float32)
     tab[n_int:, width - 1] = 1.0  # tag: leaf
+    return tab
+
+
+def pack_widerows(bvh: BVH, tris: TriangleSoA) -> WideRowBVH:
+    """Single-chunk pack: one wide BVH + its (leaf-order permuted)
+    triangles -> WideRowBVH with nodes [1, R, 64]."""
+    import numpy as np
+
+    tab = _pack_one(bvh, np.asarray(tris.p0, np.float32),
+                    np.asarray(tris.e1, np.float32),
+                    np.asarray(tris.e2, np.float32))
     return WideRowBVH(
-        nodes=jnp.asarray(tab), arity=arity, width=width,
-        max_leaf=max_leaf, max_depth=int(bvh.max_depth))
+        nodes=jnp.asarray(tab[None]), arity=int(bvh.arity), width=64,
+        max_leaf=int(bvh.max_leaf), max_depth=int(bvh.max_depth))
+
+
+# budget: [R, 64] f32 rows pad to 128 lanes in VMEM (512 B/row). Mosaic
+# DOUBLE-BUFFERS the chunk-table input block (overlapping the next chunk's
+# HBM DMA with traversal), so the working set is 2x table + rays/outputs
+# against the ~16 MB/core VMEM: 13k rows = 6.7 MB/table fits.
+MAX_ROWS_PER_CHUNK = 13000
+
+
+def build_widerow(p0, e1, e2, arity: int = 4, max_leaf: int = 4,
+                  max_rows: int = MAX_ROWS_PER_CHUNK):
+    """Build the wide-row acceleration structure for arbitrary scene sizes.
+
+    Scenes whose row table fits the VMEM budget get one chunk. Larger
+    scenes are partitioned into spatial chunks (Morton order over triangle
+    centroids, then contiguous ranges) with one wide BVH per chunk; the
+    kernel iterates chunks in an inner grid dimension, carrying best-hit
+    state in its output refs, so node tables stream HBM->VMEM one chunk at
+    a time (the TPU analogue of traversal working sets exceeding cache —
+    lifts the VMEM triangle cap flagged in round 1).
+
+    Returns (WideRowBVH with nodes [C, R, 64], perm) — callers permute
+    their per-triangle arrays by `perm` exactly as for build_bvh."""
+    import numpy as np
+
+    from gfxexp_tpu.accel.bvh_build import build_bvh
+
+    p0 = np.asarray(p0, np.float32)
+    e1 = np.asarray(e1, np.float32)
+    e2 = np.asarray(e2, np.float32)
+    n = p0.shape[0]
+    # rows ~ leaves + internals; leaves ~ n/max_leaf * fill-slack
+    est_rows = int(n / max_leaf * 1.5 * (1.0 + 1.0 / max(arity - 1, 1))) + 64
+    if est_rows <= max_rows:
+        bvh, perm = build_bvh(p0, e1, e2, arity=arity, max_leaf=max_leaf)
+        tab = _pack_one(bvh, p0[perm], e1[perm], e2[perm])
+        return WideRowBVH(
+            nodes=jnp.asarray(tab[None]), arity=arity, width=64,
+            max_leaf=max_leaf, max_depth=int(bvh.max_depth)), perm
+
+    # ---- chunked: Morton-order spatial partition ----
+    c0 = p0 + (e1 + e2) / 3.0  # centroids
+    lo = c0.min(axis=0)
+    span = np.maximum(c0.max(axis=0) - lo, 1e-12)
+    q = np.minimum(((c0 - lo) / span) * 1024.0, 1023.0).astype(np.uint32)
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    morton = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    order = np.argsort(morton, kind="stable").astype(np.int32)
+
+    tris_per_chunk = max(int(n * max_rows / est_rows), max_leaf)
+    n_chunks = -(-n // tris_per_chunk)
+    tabs, perms = [], []
+    max_depth = 1
+    start = 0
+    for c in range(n_chunks):
+        end = min(start + tris_per_chunk, n)
+        sel = order[start:end]
+        bvh, lperm = build_bvh(p0[sel], e1[sel], e2[sel], arity=arity,
+                               max_leaf=max_leaf)
+        gsel = sel[lperm]
+        tabs.append(_pack_one(bvh, p0[gsel], e1[gsel], e2[gsel],
+                              tri_offset=start))
+        perms.append(gsel)
+        max_depth = max(max_depth, int(bvh.max_depth))
+        start = end
+    r_max = max(t.shape[0] for t in tabs)
+    stacked = np.zeros((n_chunks, r_max, 64), np.float32)
+    for c, t in enumerate(tabs):
+        stacked[c, :t.shape[0]] = t
+        # padding rows: leaf-tagged with count 0 (unreachable anyway)
+        stacked[c, t.shape[0]:, 63] = 1.0
+    perm = np.concatenate(perms)
+    return WideRowBVH(
+        nodes=jnp.asarray(stacked), arity=arity, width=64,
+        max_leaf=max_leaf, max_depth=max_depth), perm
 
 
 def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
@@ -166,19 +262,26 @@ def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
         ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
         sp_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, stack_depth), 1)
 
+        # chunk dimension is INNER (grid = (tiles, chunks)): the best-hit
+        # state carries across chunks through the (revisited) output block,
+        # so each chunk's traversal starts pre-culled by every earlier
+        # chunk's hits. First chunk initializes from the rays.
+        chunk = pl.program_id(1)
+        first_chunk = chunk == 0
         init = (
             jnp.zeros((rows, 1), jnp.int32),  # cur node row (-1 = done)
             jnp.zeros((rows, 1), jnp.int32),  # sp
             jnp.full((rows, stack_depth), -1, jnp.int32),  # stack
-            tmax,
-            jnp.full((rows, _LANE), -1, jnp.int32),
-            jnp.zeros((rows, _LANE), jnp.float32),
-            jnp.zeros((rows, _LANE), jnp.float32),
+            jnp.where(first_chunk, tmax, out_t[0]),
+            jnp.where(first_chunk, -1, out_tri[0]),
+            jnp.where(first_chunk, 0.0, out_u[0]),
+            jnp.where(first_chunk, 0.0, out_v[0]),
             # per-row iteration count [rows, LANE]. Initialized from
             # runtime data, NOT a constant: a splat init gets a replicated
             # Mosaic layout and the loop-carry relayout from the body's
             # non-replicated value is then rejected.
-            (tmax * 0.0).astype(jnp.int32),
+            jnp.where(first_chunk, (tmax * 0.0).astype(jnp.int32),
+                      out_it[0]),
         )
 
         def cond(s):
@@ -190,7 +293,7 @@ def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
             iters = iters + active.astype(jnp.int32)
             curc = jnp.clip(cur, 0, n_rows_tab - 1)
             rowdat = jnp.concatenate(
-                [nodes[pl.ds(curc[r, 0], 1), :] for r in range(rows)],
+                [nodes[0, pl.ds(curc[r, 0], 1), :] for r in range(rows)],
                 axis=0)  # [rows, width]
             is_leaf = rowdat[:, width - 1:width] > 0.5  # [rows, 1]
             int_active = active & ~is_leaf
@@ -349,6 +452,7 @@ def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
 def _run(nodes, rays, n_rows_tab, arity, width, max_leaf,
          stack_depth, any_hit, rows):
     g = rays.shape[0]
+    n_chunks = nodes.shape[0]
     tile = rows * _LANE
     kernel = _make_kernel(n_rows_tab, arity, width, max_leaf, stack_depth,
                           any_hit, rows)
@@ -359,13 +463,17 @@ def _run(nodes, rays, n_rows_tab, arity, width, max_leaf,
         jax.ShapeDtypeStruct((g, rows, _LANE), jnp.float32),
         jax.ShapeDtypeStruct((g, rows, _LANE), jnp.int32),  # iterations
     ]
-    out_block = pl.BlockSpec((1, rows, _LANE), lambda i: (i, 0, 0),
+    # chunk dim inner: out blocks for tile i are revisited across
+    # consecutive c steps (the Pallas accumulation pattern); each chunk's
+    # node table is DMA'd HBM->VMEM for its steps
+    out_block = pl.BlockSpec((1, rows, _LANE), lambda i, c: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     grid_spec = pl.GridSpec(
-        grid=(g,),
+        grid=(g, n_chunks),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # nodes
-            pl.BlockSpec((1, 8, tile), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, n_rows_tab, width), lambda i, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),  # nodes chunk
+            pl.BlockSpec((1, 8, tile), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_block] * 5,
@@ -413,7 +521,7 @@ def _traverse_widestack(bvh: WideRowBVH, tris: TriangleSoA, o, d, t_min,
 
     best_t, best_tri, best_u, best_v, iters = _run(
         nodes, rays,
-        n_rows_tab=nodes.shape[0], arity=arity, width=width,
+        n_rows_tab=nodes.shape[1], arity=arity, width=width,
         max_leaf=bvh.max_leaf, stack_depth=stack_depth, any_hit=any_hit,
         rows=rows,
     )

@@ -60,6 +60,16 @@ def compile_scene(
     Pallas kernel (accel/pallas_widestack.py — the fast TPU path);
     traversal="wide" produces the stack-based wide BVH."""
     scene = builder.compile()
+    if traversal == "widerow":
+        from gfxexp_tpu.accel.pallas_widestack import build_widerow
+
+        wrow, perm = build_widerow(
+            np.asarray(scene.triangles.p0),
+            np.asarray(scene.triangles.e1),
+            np.asarray(scene.triangles.e2),
+            arity=arity, max_leaf=max_leaf,
+        )
+        return apply_triangle_permutation(scene, perm), wrow
     bvh, perm = build_bvh(
         np.asarray(scene.triangles.p0),
         np.asarray(scene.triangles.e1),
@@ -68,10 +78,6 @@ def compile_scene(
         max_leaf=max_leaf,
     )
     scene = apply_triangle_permutation(scene, perm)
-    if traversal == "widerow":
-        from gfxexp_tpu.accel.pallas_widestack import pack_widerows
-
-        return scene, pack_widerows(bvh, scene.triangles)
     if traversal == "skip":
         from gfxexp_tpu.accel.skiplink import build_skip_links
 

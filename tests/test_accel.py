@@ -226,3 +226,28 @@ def test_widestack_matches_bruteforce(rng_np, arity):
     assert np.array_equal(np.asarray(hw.tri)[m], np.asarray(hr.tri)[m])
     occ = intersect_any_widestack(wrow, soa, jnp.asarray(o), jnp.asarray(d))
     assert np.array_equal(np.asarray(occ), np.asarray(hr.hit))
+
+
+def test_widestack_chunked_matches_bruteforce(rng_np):
+    """Chunked (multi-table) wide-row traversal — the HBM-streaming path for
+    scenes over the VMEM row budget — must agree with brute force."""
+    from gfxexp_tpu.accel.pallas_widestack import (
+        build_widerow,
+        intersect_closest_widestack,
+    )
+
+    p0, p1, p2 = _random_tri_soup(rng_np, 600, spread=6.0)
+    wrow, perm = build_widerow(p0, p1 - p0, p2 - p0, arity=4, max_leaf=4,
+                               max_rows=80)  # force many chunks
+    assert wrow.num_chunks >= 4, wrow.num_chunks
+    soa = _make_soa(p0[perm], p1[perm], p2[perm])
+    n_rays = 300
+    o = rng_np.uniform(-10, 10, size=(n_rays, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    hw = intersect_closest_widestack(wrow, soa, jnp.asarray(o), jnp.asarray(d))
+    hr = intersect_closest_brute(soa, jnp.asarray(o), jnp.asarray(d))
+    assert np.array_equal(np.asarray(hw.hit), np.asarray(hr.hit))
+    m = np.asarray(hr.hit)
+    assert np.allclose(np.asarray(hw.t)[m], np.asarray(hr.t)[m], rtol=1e-4)
+    assert np.array_equal(np.asarray(hw.tri)[m], np.asarray(hr.tri)[m])
