@@ -91,7 +91,10 @@ def build_bench_scene(big: bool = False):
         teapot_at(-0.3, 0.0)
         bunny_at(0.35, 0.0)
 
-    pair = compile_scene(b, arity=4, max_leaf=4, traversal="widerow")
+    # big: two-level instancing (36 teapots+bunnies share 2 BLAS tables —
+    # memory does not scale with the instance count)
+    pair = compile_scene(b, arity=4, max_leaf=4,
+                         traversal="instanced" if big else "widerow")
     os.makedirs(_CACHE, exist_ok=True)
     with open(cache_file, "wb") as f:
         import jax

@@ -242,11 +242,19 @@ def build_widerow(p0, e1, e2, arity: int = 4, max_leaf: int = 4,
 
 
 def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
-                 stack_depth: int, any_hit: bool, rows: int):
+                 stack_depth: int, any_hit: bool, rows: int,
+                 instanced: bool = False):
     net = _NET4 if arity <= 4 else _NET8
     K = arity
 
-    def kernel(nodes, rays, out_t, out_tri, out_u, out_v, out_it):
+    def kernel(*refs):
+        if instanced:
+            (blas_ids, transforms, nodes, rays,
+             out_t, out_tri, out_u, out_v, out_it, out_inst) = refs
+        else:
+            nodes, rays, out_t, out_tri, out_u, out_v, out_it = refs
+            transforms = out_inst = None
+
         def comp(c):
             return rays[0, c, :].reshape(rows, _LANE)
 
@@ -254,6 +262,23 @@ def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
         dx, dy, dz = comp(3), comp(4), comp(5)
         tmin = comp(6)
         tmax = comp(7)
+
+        if instanced:
+            # world ray -> this instance's object space. The direction is
+            # NOT renormalized, so the ray parameter t is preserved across
+            # the affine map — best_t stays in world units and composes
+            # across instances (reference: OptiX does the same transform
+            # into GAS space for IAS traversal). Transforms live in SMEM
+            # (scalar prefetch): 12 scalar reads, broadcast into the VPU.
+            tbase = pl.program_id(1) * 16
+            m = [transforms[tbase + j] for j in range(12)]
+            ox2 = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+            oy2 = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+            oz2 = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+            dx2 = m[0] * dx + m[1] * dy + m[2] * dz
+            dy2 = m[4] * dx + m[5] * dy + m[6] * dz
+            dz2 = m[8] * dx + m[9] * dy + m[10] * dz
+            ox, oy, oz, dx, dy, dz = ox2, oy2, oz2, dx2, dy2, dz2
 
         def safe_inv(v):
             tiny = jnp.where(v < 0, -1e-12, 1e-12)
@@ -265,7 +290,9 @@ def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
         # chunk dimension is INNER (grid = (tiles, chunks)): the best-hit
         # state carries across chunks through the (revisited) output block,
         # so each chunk's traversal starts pre-culled by every earlier
-        # chunk's hits. First chunk initializes from the rays.
+        # chunk's hits. First chunk initializes from the rays. In instanced
+        # mode a chunk IS an instance (sorted by BLAS so consecutive
+        # instances reuse the resident node table without a new DMA).
         chunk = pl.program_id(1)
         first_chunk = chunk == 0
         init = (
@@ -282,13 +309,17 @@ def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
             # non-replicated value is then rejected.
             jnp.where(first_chunk, (tmax * 0.0).astype(jnp.int32),
                       out_it[0]),
+            jnp.where(first_chunk, ((tmax * 0.0).astype(jnp.int32) - 1),
+                      out_inst[0]) if instanced else
+            (tmax * 0.0).astype(jnp.int32),
         )
 
         def cond(s):
             return jnp.max(s[0]) >= 0
 
         def body(s):
-            cur, sp, stack, best_t, best_tri, best_u, best_v, iters = s
+            (cur, sp, stack, best_t, best_tri, best_u, best_v, iters,
+             best_inst) = s
             active = cur >= 0  # [rows, 1]
             iters = iters + active.astype(jnp.int32)
             curc = jnp.clip(cur, 0, n_rows_tab - 1)
@@ -370,7 +401,7 @@ def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
 
             # ---- leaf phase: triangles inline in the row ----------------
             def leaf_fn(carry):
-                best_t, best_tri, best_u, best_v = carry
+                best_t, best_tri, best_u, best_v, best_inst = carry
                 packed = jax.lax.bitcast_convert_type(
                     rowdat[:, width - 4:width - 3], jnp.int32)
                 fst = packed & ((1 << _COUNT_SHIFT) - 1)
@@ -410,15 +441,17 @@ def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
                     best_t = jnp.where(ok, t, best_t)
                     best_u = jnp.where(ok, u, best_u)
                     best_v = jnp.where(ok, v, best_v)
-                return best_t, best_tri, best_u, best_v
+                    if instanced:
+                        best_inst = jnp.where(ok, chunk, best_inst)
+                return best_t, best_tri, best_u, best_v, best_inst
 
             if _USE_PHASE_CONDS:
-                best_t, best_tri, best_u, best_v = jax.lax.cond(
+                best_t, best_tri, best_u, best_v, best_inst = jax.lax.cond(
                     jnp.any(leaf_active), leaf_fn, lambda c: c,
-                    (best_t, best_tri, best_u, best_v))
+                    (best_t, best_tri, best_u, best_v, best_inst))
             else:
-                best_t, best_tri, best_u, best_v = leaf_fn(
-                    (best_t, best_tri, best_u, best_v))
+                best_t, best_tri, best_u, best_v, best_inst = leaf_fn(
+                    (best_t, best_tri, best_u, best_v, best_inst))
 
             # ---- advance: descend, else pop, else done ------------------
             nxt = jnp.where(int_active, nxt_int, -1)
@@ -432,15 +465,18 @@ def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
                 live = jnp.any((tmax > 0.0) & (best_tri < 0), axis=1,
                                keepdims=True)
                 nxt = jnp.where(live, nxt, -1)
-            return (nxt, sp, stack, best_t, best_tri, best_u, best_v, iters)
+            return (nxt, sp, stack, best_t, best_tri, best_u, best_v,
+                    iters, best_inst)
 
         out = jax.lax.while_loop(cond, body, init)
-        _, _, _, best_t, best_tri, best_u, best_v, iters = out
+        _, _, _, best_t, best_tri, best_u, best_v, iters, best_inst = out
         out_t[0] = best_t
         out_tri[0] = best_tri
         out_u[0] = best_u
         out_v[0] = best_v
         out_it[0] = iters
+        if instanced:
+            out_inst[0] = best_inst
 
     return kernel
 
@@ -549,3 +585,193 @@ def intersect_any_widestack(bvh: WideRowBVH, tris: TriangleSoA, o, d,
                             t_min=1e-4, t_max=1e30, rows: int = ROWS):
     return _traverse_widestack(bvh, tris, o, d, t_min, t_max, any_hit=True,
                                rows=rows).hit
+
+
+# ---------------------------------------------------------------------------
+# two-level (instanced) traversal — the TPU analogue of OptiX GAS/IAS
+# (reference: Scene::updateASs, common_host.h:1027; Instance/GAS model)
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class InstancedAccel:
+    """Per-BLAS wide-row tables shared by N instances.
+
+    Instances are the kernel's inner chunk dimension: each (ray-tile,
+    instance) grid step transforms the rays into the instance's object
+    space in-kernel (12 scalar reads + ~30 VPU ops) and traverses the
+    instance's BLAS, selected through a scalar-prefetch index map — so
+    consecutive instances of the same BLAS reuse the VMEM-resident table
+    without a new DMA (instances are sorted by BLAS id at build).
+
+    Memory no longer scales with instance count: N instances of a mesh
+    share ONE node/triangle table. Rigid animation = rewriting
+    inv_transforms (and the scene-side transforms); nothing is rebuilt."""
+
+    nodes: jnp.ndarray  # [B, R, 64] per-BLAS row tables
+    blas_ids: jnp.ndarray  # [C] i32 blas of chunk (sorted)
+    inv_transforms: jnp.ndarray  # [C, 16] world->object 3x4, row-major
+    inst_of_chunk: jnp.ndarray  # [C] i32 chunk -> original instance id
+    arity: int = struct.field(pytree_node=False, default=4)
+    width: int = struct.field(pytree_node=False, default=64)
+    max_leaf: int = struct.field(pytree_node=False, default=4)
+    max_depth: int = struct.field(pytree_node=False, default=32)
+
+    @property
+    def num_instances(self):
+        return self.blas_ids.shape[0]
+
+
+def build_instanced(blas_geoms, instances, arity: int = 4,
+                    max_leaf: int = 4):
+    """blas_geoms: list of (p0, e1, e2) object-space triangle arrays.
+    instances: list of (blas_id, transform_3x4 object->world).
+
+    Returns (InstancedAccel, perms) with perms[b] the triangle permutation
+    applied to BLAS b's arrays (for shading-side attribute reorder).
+    Triangle ids baked into BLAS b's leaves are GLOBAL across the
+    concatenated (permuted) BLAS triangle arrays."""
+    import numpy as np
+
+    from gfxexp_tpu.accel.bvh_build import build_bvh
+
+    tabs, perms, offsets = [], [], []
+    off = 0
+    max_depth = 1
+    for (p0, e1, e2) in blas_geoms:
+        p0 = np.asarray(p0, np.float32)
+        e1 = np.asarray(e1, np.float32)
+        e2 = np.asarray(e2, np.float32)
+        bvh, perm = build_bvh(p0, e1, e2, arity=arity, max_leaf=max_leaf)
+        tabs.append(_pack_one(bvh, p0[perm], e1[perm], e2[perm],
+                              tri_offset=off))
+        perms.append(perm)
+        offsets.append(off)
+        off += p0.shape[0]
+        max_depth = max(max_depth, int(bvh.max_depth))
+    r_max = max(t.shape[0] for t in tabs)
+    stacked = np.zeros((len(tabs), r_max, 64), np.float32)
+    for b, t in enumerate(tabs):
+        stacked[b, :t.shape[0]] = t
+        stacked[b, t.shape[0]:, 63] = 1.0
+
+    order = np.argsort([b for b, _ in instances], kind="stable")
+    blas_ids = np.asarray([instances[i][0] for i in order], np.int32)
+    inv = np.zeros((len(instances), 16), np.float32)
+    for j, i in enumerate(order):
+        m = np.asarray(instances[i][1], np.float64).reshape(3, 4)
+        r_inv = np.linalg.inv(m[:, :3])
+        t_inv = -r_inv @ m[:, 3]
+        inv[j, 0:12] = np.concatenate(
+            [np.concatenate([r_inv[k], [t_inv[k]]]) for k in range(3)])
+    return InstancedAccel(
+        nodes=jnp.asarray(stacked),
+        blas_ids=jnp.asarray(blas_ids),
+        inv_transforms=jnp.asarray(inv),
+        inst_of_chunk=jnp.asarray(order.astype(np.int32)),
+        arity=arity, width=64, max_leaf=max_leaf, max_depth=max_depth,
+    ), perms
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_rows_tab", "arity", "width", "max_leaf",
+                     "stack_depth", "any_hit", "rows"))
+def _run_instanced(nodes, blas_ids, transforms, rays, n_rows_tab, arity,
+                   width, max_leaf, stack_depth, any_hit, rows):
+    g = rays.shape[0]
+    n_inst = blas_ids.shape[0]
+    tile = rows * _LANE
+    kernel = _make_kernel(n_rows_tab, arity, width, max_leaf, stack_depth,
+                          any_hit, rows, instanced=True)
+    out_shape = [
+        jax.ShapeDtypeStruct((g, rows, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, _LANE), jnp.int32),
+        jax.ShapeDtypeStruct((g, rows, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, _LANE), jnp.int32),  # iterations
+        jax.ShapeDtypeStruct((g, rows, _LANE), jnp.int32),  # instance
+    ]
+    out_block = pl.BlockSpec((1, rows, _LANE), lambda i, c, b, tf: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # blas_ids, flat inv transforms (SMEM)
+        grid=(g, n_inst),
+        in_specs=[
+            # BLAS table selected by the prefetched id; consecutive equal
+            # ids revisit the resident block (no DMA)
+            pl.BlockSpec((1, n_rows_tab, width),
+                         lambda i, c, b, tf: (b[c], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tile), lambda i, c, b, tf: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_block] * 6,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=jax.default_backend() != "tpu",
+    )(blas_ids, transforms.reshape(-1), nodes, rays)
+
+
+def _traverse_instanced(acc: InstancedAccel, o, d, t_min, t_max,
+                        any_hit: bool, rows: int = ROWS):
+    n_rays = o.shape[0]
+    tile = rows * _LANE
+    g = -(-n_rays // tile)
+    n_pad = g * tile
+    stack_depth = int(acc.max_depth + 2) * max(acc.arity - 1, 1)
+
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_rays,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_rays,))
+
+    def pad(x, fill):
+        if x.shape[0] == n_pad:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((n_pad - x.shape[0],) + x.shape[1:], fill, x.dtype)]
+        )
+
+    comps = jnp.stack(
+        [
+            pad(o[:, 0], 0.0), pad(o[:, 1], 0.0), pad(o[:, 2], 0.0),
+            pad(d[:, 0], 1.0), pad(d[:, 1], 0.0), pad(d[:, 2], 0.0),
+            pad(t_min, 0.0), pad(t_max, -1.0),
+        ],
+        axis=0,
+    )
+    rays = comps.reshape(8, g, tile).transpose(1, 0, 2)
+
+    best_t, best_tri, best_u, best_v, _, best_chunk = _run_instanced(
+        acc.nodes, acc.blas_ids, acc.inv_transforms, rays,
+        n_rows_tab=acc.nodes.shape[1], arity=acc.arity, width=acc.width,
+        max_leaf=acc.max_leaf, stack_depth=stack_depth, any_hit=any_hit,
+        rows=rows,
+    )
+    flat = lambda x: x.reshape(n_pad)[:n_rays]
+    best_tri = flat(best_tri)
+    best_chunk = flat(best_chunk)
+    inst = jnp.where(best_chunk >= 0,
+                     acc.inst_of_chunk[jnp.maximum(best_chunk, 0)], -1)
+    hit = HitInfo(
+        t=flat(best_t), tri=best_tri, u=flat(best_u), v=flat(best_v),
+        hit=best_tri >= 0,
+    )
+    return hit, inst
+
+
+def intersect_closest_instanced(acc: InstancedAccel, o, d, t_min=1e-4,
+                                t_max=1e30, rows: int = ROWS):
+    """Closest hit through the two-level structure. Returns
+    (HitInfo with GLOBAL blas-triangle ids, instance id per ray, -1 miss)."""
+    return _traverse_instanced(acc, o, d, t_min, t_max, any_hit=False,
+                               rows=rows)
+
+
+def intersect_any_instanced(acc: InstancedAccel, o, d, t_min=1e-4,
+                            t_max=1e30, rows: int = ROWS):
+    hit, _ = _traverse_instanced(acc, o, d, t_min, t_max, any_hit=True,
+                                 rows=rows)
+    return hit.hit

@@ -36,6 +36,9 @@ class HitInfo:
     u: jnp.ndarray  # [R] barycentric of corner 1
     v: jnp.ndarray  # [R] barycentric of corner 2
     hit: jnp.ndarray  # [R] bool
+    # instance id per ray (two-level traversal only; -1 on miss/None when
+    # the acceleration structure is single-level)
+    inst: object = None
 
 
 def intersect_tris(tri: TriangleSoA, idx, o, d, t_min, t_cur):
@@ -159,11 +162,16 @@ def intersect_closest(bvh, tris: TriangleSoA, o, d, t_min=1e-4, t_max=1e30,
     SkipBVH, or the packed wide-row table for the ordered-stack Pallas
     kernel)."""
     from gfxexp_tpu.accel.pallas_widestack import (
+        InstancedAccel,
         WideRowBVH,
+        intersect_closest_instanced,
         intersect_closest_widestack,
     )
     from gfxexp_tpu.accel.skiplink import SkipBVH
 
+    if isinstance(bvh, InstancedAccel):
+        hit, inst = intersect_closest_instanced(bvh, o, d, t_min, t_max)
+        return hit.replace(inst=inst)
     if isinstance(bvh, WideRowBVH):
         return intersect_closest_widestack(bvh, tris, o, d, t_min, t_max)
     if isinstance(bvh, SkipBVH):
@@ -182,11 +190,15 @@ def intersect_any(bvh, tris: TriangleSoA, o, d, t_min=1e-4, t_max=1e30,
     """Shadow-ray query: returns occluded [R] bool (reference: visibility AH
     program, optix_pathtracing_kernels.cu:5)."""
     from gfxexp_tpu.accel.pallas_widestack import (
+        InstancedAccel,
         WideRowBVH,
+        intersect_any_instanced,
         intersect_any_widestack,
     )
     from gfxexp_tpu.accel.skiplink import SkipBVH
 
+    if isinstance(bvh, InstancedAccel):
+        return intersect_any_instanced(bvh, o, d, t_min, t_max)
     if isinstance(bvh, WideRowBVH):
         return intersect_any_widestack(bvh, tris, o, d, t_min, t_max)
     if isinstance(bvh, SkipBVH):

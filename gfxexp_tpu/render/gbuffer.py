@@ -78,7 +78,7 @@ def render_gbuffer(
     ray_o, ray_d = generate_rays_for_lanes(camera, width, height, pixel, jx, jy)
 
     hit = intersect_closest(bvh, scene.triangles, ray_o, ray_d, t_min=0.0, t_max=1e30)
-    sp = compute_surface_point(scene, hit.tri, hit.u, hit.v)
+    sp = compute_surface_point(scene, hit.tri, hit.u, hit.v, inst=hit.inst)
     hm = hit.hit
     hm3 = hm[..., None]
 

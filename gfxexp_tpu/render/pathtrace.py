@@ -112,12 +112,24 @@ class SurfacePoint:
     emittance: jnp.ndarray  # [R, 3]
 
 
-def compute_surface_point(scene: SceneData, tri_idx, u, v) -> SurfacePoint:
+def compute_surface_point(scene: SceneData, tri_idx, u, v,
+                          inst=None) -> SurfacePoint:
     tris = scene.triangles
     tri_idx = jnp.maximum(tri_idx, 0)  # missed lanes gather slot 0 (masked out later)
     p0 = tris.p0[tri_idx]
     e1 = tris.e1[tri_idx]
     e2 = tris.e2[tri_idx]
+    if scene.is_instanced:
+        # triangles are OBJECT space; bring geometry into world space via
+        # the hit instance (reference: CH programs read the OptiX
+        # object-to-world transform the same way)
+        insti = jnp.maximum(jnp.asarray(inst), 0)
+        m = scene.instances.transform[insti]  # [R, 3, 4]
+        rot = m[:, :, :3]
+        hi = jax.lax.Precision.HIGHEST
+        p0 = jnp.einsum("nij,nj->ni", rot, p0, precision=hi) + m[:, :, 3]
+        e1 = jnp.einsum("nij,nj->ni", rot, e1, precision=hi)
+        e2 = jnp.einsum("nij,nj->ni", rot, e2, precision=hi)
     position = p0 + u[..., None] * e1 + v[..., None] * e2
     gn = normalize(jnp.cross(e1, e2))
     w = 1.0 - u - v
@@ -126,6 +138,11 @@ def compute_surface_point(scene: SceneData, tri_idx, u, v) -> SurfacePoint:
         + u[..., None] * tris.n1[tri_idx]
         + v[..., None] * tris.n2[tri_idx]
     )
+    if scene.is_instanced:
+        # normals transform by the inverse-transpose rotation
+        ninv = scene.instances.inv_transform[insti][:, :, :3]
+        sn = jnp.einsum("nji,nj->ni", ninv, sn,
+                        precision=jax.lax.Precision.HIGHEST)
     sn = normalize(sn)
     uv0 = tris.uv0[tri_idx]
     uv1 = tris.uv1[tri_idx]
@@ -140,7 +157,10 @@ def compute_surface_point(scene: SceneData, tri_idx, u, v) -> SurfacePoint:
     fallback, _ = make_frame(sn)
     tan = jnp.where(degenerate[..., None], fallback, tan)
     tan = normalize(tan - jnp.sum(tan * sn, axis=-1, keepdims=True) * sn)
-    unit = tris.unit_id[tri_idx]
+    if scene.is_instanced:
+        unit = scene.inst_unit_base[insti] + tris.unit_id[tri_idx]
+    else:
+        unit = tris.unit_id[tri_idx]
     mat = scene.units.material[unit]
     emit = scene.materials.emittance[mat]
     if scene.textures is not None and getattr(scene.textures, "count", 0) > 0:
@@ -180,7 +200,8 @@ def _intersect_closest_sorted(bvh, tris, ray_o, ray_d, alive):
     hit = intersect_closest(bvh, tris, ray_o[perm], ray_d[perm],
                             t_min=0.0, t_max=t_max)
     return HitInfo(t=hit.t[inv], tri=hit.tri[inv], u=hit.u[inv],
-                   v=hit.v[inv], hit=hit.hit[inv])
+                   v=hit.v[inv], hit=hit.hit[inv],
+                   inst=None if hit.inst is None else hit.inst[inv])
 
 
 def _next_event(scene, bvh, sp: SurfacePoint, v_out_local, frame, params, rs,
@@ -360,7 +381,8 @@ def render_lanes(
                 env_gate[..., None], throughput * env_l * env_mis[..., None], 0.0
             )
 
-        sp = compute_surface_point(scene, hit.tri, hit.u, hit.v)
+        sp = compute_surface_point(scene, hit.tri, hit.u, hit.v,
+                                   inst=hit.inst)
         v_out = -ray_d
         front = jnp.sum(v_out * sp.geom_normal, axis=-1) >= 0.0
         gn_signed = jnp.where(front[..., None], sp.geom_normal, -sp.geom_normal)
@@ -391,7 +413,8 @@ def render_lanes(
                 mis_w = jnp.ones((n,), jnp.float32)
             else:
                 dist2 = jnp.maximum(hit.t**2, 1e-12)
-                hyp_area = surface_light_pdf(scene, jnp.maximum(hit.tri, 0))
+                hyp_area = surface_light_pdf(scene, jnp.maximum(hit.tri, 0),
+                                             inst=hit.inst)
                 light_p = (
                     p_surf_sel
                     * hyp_area

@@ -277,6 +277,35 @@ class SceneBuilder:
 
     # -- compile -----------------------------------------------------------
 
+    def _materials_table(self, mats) -> MaterialTable:
+        return MaterialTable(
+            bsdf_type=np.asarray([m.bsdf_type for m in mats], np.int32),
+            diffuse_color=np.asarray([m.diffuse_color for m in mats], np.float32),
+            specular_f0=np.asarray([m.specular_f0 for m in mats], np.float32),
+            roughness=np.asarray([m.roughness for m in mats], np.float32),
+            metallic=np.asarray([m.metallic for m in mats], np.float32),
+            emittance=np.asarray([m.emittance for m in mats], np.float32),
+            diffuse_tex=np.asarray([m.diffuse_tex for m in mats], np.int32),
+            emittance_tex=np.asarray([m.emittance_tex for m in mats], np.int32),
+            normal_tex=np.asarray([m.normal_tex for m in mats], np.int32),
+        )
+
+    def _env_light(self):
+        if self.env_radiance is None:
+            return None
+        # importance = luminance x sin(theta) (lat-long solid-angle factor,
+        # reference: loadEnvironmentalTexture, common_host.cpp:2658)
+        h, w = self.env_radiance.shape[:2]
+        lum = self.env_radiance @ _LUMA
+        sin_t = np.sin(np.pi * (np.arange(h) + 0.5) / h)
+        return EnvLight(
+            radiance=np.asarray(self.env_radiance),
+            importance=build_continuous_2d(lum * sin_t[:, None]),
+            power_coeff=np.float32(self.env_power),
+            rotation=np.float32(self.env_rotation),
+            enabled=np.asarray(True),
+        )
+
     def compile(self) -> SceneData:
         """Flatten instance graph to world-space SoA tables + light CDFs."""
         if not self.instances:
@@ -406,32 +435,8 @@ class SceneBuilder:
             uniform_scale=np.asarray(inst_scale, np.float32),
         )
 
-        materials = MaterialTable(
-            bsdf_type=np.asarray([m.bsdf_type for m in mats], np.int32),
-            diffuse_color=np.asarray([m.diffuse_color for m in mats], np.float32),
-            specular_f0=np.asarray([m.specular_f0 for m in mats], np.float32),
-            roughness=np.asarray([m.roughness for m in mats], np.float32),
-            metallic=np.asarray([m.metallic for m in mats], np.float32),
-            emittance=np.asarray([m.emittance for m in mats], np.float32),
-            diffuse_tex=np.asarray([m.diffuse_tex for m in mats], np.int32),
-            emittance_tex=np.asarray([m.emittance_tex for m in mats], np.int32),
-            normal_tex=np.asarray([m.normal_tex for m in mats], np.int32),
-        )
-
-        env = None
-        if self.env_radiance is not None:
-            # importance = luminance x sin(theta) (lat-long solid-angle factor,
-            # reference: loadEnvironmentalTexture, common_host.cpp:2658)
-            h, w = self.env_radiance.shape[:2]
-            lum = self.env_radiance @ _LUMA
-            sin_t = np.sin(np.pi * (np.arange(h) + 0.5) / h)
-            env = EnvLight(
-                radiance=np.asarray(self.env_radiance),
-                importance=build_continuous_2d(lum * sin_t[:, None]),
-                power_coeff=np.float32(self.env_power),
-                rotation=np.float32(self.env_rotation),
-                enabled=np.asarray(True),
-            )
+        materials = self._materials_table(mats)
+        env = self._env_light()
 
         object_triangles = ObjectTriangles(
             p0=cat("op0"), e1=cat("oe1"), e2=cat("oe2"),
@@ -453,6 +458,202 @@ class SceneBuilder:
             object_triangles=object_triangles,
             textures=self.atlas.build() if self.atlas.images else None,
         )
+
+
+    def compile_instanced(self, arity: int = 4, max_leaf: int = 4):
+        """Two-level compile: per-group BLAS tables shared by instances
+        (the reference's GAS/IAS split, common_host.h:1027 updateASs).
+
+        Returns (SceneData, accel.InstancedAccel). SceneData.triangles hold
+        OBJECT-space BLAS triangles (unit_id = local geometry index within
+        the group); light-order arrays are per-UNIT (instance x geom) with
+        world-space importances, and light_tri_index maps light-order
+        positions to global BLAS triangle ids. N instances of a group share
+        one triangle table — memory no longer scales with instance count."""
+        from gfxexp_tpu.accel.pallas_widestack import build_instanced
+
+        if not self.instances:
+            raise ValueError("scene has no instances")
+        mats = self.materials or [HostMaterial()]
+
+        # ---- dedupe geometry groups -> BLAS ids ----
+        group_key_to_blas = {}
+        blas_groups = []  # list of geometry-id tuples
+        inst_blas = []
+        for inst in self.instances:
+            key = tuple(inst.geometries)
+            if key not in group_key_to_blas:
+                group_key_to_blas[key] = len(blas_groups)
+                blas_groups.append(key)
+            inst_blas.append(group_key_to_blas[key])
+
+        # ---- per-BLAS object-space triangle arrays (pre-permutation) ----
+        blas_raw = []  # per blas: dict of SoA chunks + geom local bases
+        blas_tri_base = []  # global base of each blas in concatenated order
+        cursor = 0
+        for group in blas_groups:
+            chunks = {k: [] for k in ("p0", "e1", "e2", "n0", "n1", "n2",
+                                      "uv0", "uv1", "uv2", "unit")}
+            geom_base, geom_count = [], []
+            local = 0
+            for k, geom_id in enumerate(group):
+                g = self.geometries[geom_id]
+                i0, i1, i2 = g.indices[:, 0], g.indices[:, 1], g.indices[:, 2]
+                p0, p1, p2 = g.positions[i0], g.positions[i1], g.positions[i2]
+                chunks["p0"].append(p0)
+                chunks["e1"].append(p1 - p0)
+                chunks["e2"].append(p2 - p0)
+                chunks["n0"].append(g.normals[i0])
+                chunks["n1"].append(g.normals[i1])
+                chunks["n2"].append(g.normals[i2])
+                chunks["uv0"].append(g.texcoords[i0])
+                chunks["uv1"].append(g.texcoords[i1])
+                chunks["uv2"].append(g.texcoords[i2])
+                nt = len(g.indices)
+                chunks["unit"].append(np.full(nt, k, np.int32))
+                geom_base.append(local)
+                geom_count.append(nt)
+                local += nt
+            cat = {k: np.concatenate(v).astype(
+                np.int32 if k == "unit" else np.float32)
+                for k, v in chunks.items()}
+            blas_raw.append((cat, geom_base, geom_count))
+            blas_tri_base.append(cursor)
+            cursor += local
+
+        # ---- build BLAS BVHs (permutes each blas's triangles) ----
+        acc, perms = build_instanced(
+            [(b[0]["p0"], b[0]["e1"], b[0]["e2"]) for b in blas_raw],
+            [(inst_blas[i], self.instances[i].transform)
+             for i in range(len(self.instances))],
+            arity=arity, max_leaf=max_leaf)
+        # apply per-blas permutations; track old->new local index for the
+        # light-order mapping (light order stays GEOMETRY order)
+        blas_cat = {k: [] for k in blas_raw[0][0]}
+        inv_perms = []
+        for b, (cat, _, _) in enumerate(blas_raw):
+            p = perms[b]
+            inv = np.empty_like(p)
+            inv[p] = np.arange(len(p), dtype=p.dtype)
+            inv_perms.append(inv)
+            for k in blas_cat:
+                blas_cat[k].append(np.asarray(cat[k])[p])
+        triangles = TriangleSoA(
+            **{("unit_id" if k == "unit" else k):
+               np.concatenate(blas_cat[k]) for k in blas_cat})
+
+        # ---- units: instance-major, group order ----
+        unit_material, unit_instance = [], []
+        unit_tri_offset, unit_tri_count, unit_tri_base = [], [], []
+        unit_importance = []
+        tri_pmf_chunks, tri_cdf_chunks, tri_idx_chunks = [], [], []
+        tri_aprob_chunks, tri_aidx_chunks = [], []
+        inst_transform, inst_scale, inst_unit_base = [], [], []
+        light_cursor = 0
+        unit_cursor = 0
+        for inst_id, inst in enumerate(self.instances):
+            b = inst_blas[inst_id]
+            cat, geom_base, geom_count = blas_raw[b]
+            m = inst.transform.astype(np.float64)
+            rot = m[:, :3]
+            inst_transform.append(inst.transform)
+            inst_scale.append(
+                float(np.cbrt(max(abs(np.linalg.det(rot)), 1e-30))))
+            inst_unit_base.append(unit_cursor)
+            for k, geom_id in enumerate(blas_groups[b]):
+                g = self.geometries[geom_id]
+                nt = geom_count[k]
+                lo = geom_base[k]
+                # world-space emissive importance under THIS instance
+                e1w = cat["e1"][lo:lo + nt] @ rot.T
+                e2w = cat["e2"][lo:lo + nt] @ rot.T
+                area = 0.5 * np.linalg.norm(np.cross(e1w, e2w), axis=-1)
+                emit_lum = float(np.dot(_LUMA, mats[g.material].emittance))
+                w = area * emit_lum
+                total = w.sum()
+                pmf = w / total if total > 0 else np.zeros(nt)
+                cdf = np.concatenate([[0.0], np.cumsum(pmf)[:-1]])
+                tri_pmf_chunks.append(pmf.astype(np.float32))
+                tri_cdf_chunks.append(cdf.astype(np.float32))
+                _, a_prob, a_idx, _ = vose_alias_arrays(w)
+                tri_aprob_chunks.append(a_prob.astype(np.float32))
+                tri_aidx_chunks.append(a_idx.astype(np.int32))
+                # light-order position -> GLOBAL blas triangle id
+                glob = blas_tri_base[b] + inv_perms[b][lo:lo + nt]
+                tri_idx_chunks.append(glob.astype(np.int32))
+
+                unit_material.append(g.material)
+                unit_instance.append(inst_id)
+                unit_tri_offset.append(light_cursor)
+                unit_tri_count.append(nt)
+                unit_tri_base.append(lo)  # geometry-order base within blas
+                unit_importance.append(float(total))
+                light_cursor += nt
+                unit_cursor += 1
+
+        unit_importance = np.asarray(unit_importance, np.float64)
+        total_imp = unit_importance.sum()
+        unit_pmf = (unit_importance / total_imp if total_imp > 0
+                    else np.zeros_like(unit_importance))
+        unit_cdf = np.concatenate([[0.0], np.cumsum(unit_pmf)])
+        _, unit_aprob, unit_aidx, _ = vose_alias_arrays(unit_importance)
+
+        units = UnitTable(
+            material=np.asarray(unit_material, np.int32),
+            instance=np.asarray(unit_instance, np.int32),
+            tri_offset=np.asarray(unit_tri_offset, np.int32),
+            tri_count=np.asarray(unit_tri_count, np.int32),
+            light_tri_cdf=np.concatenate(tri_cdf_chunks).astype(np.float32),
+            light_tri_index=np.concatenate(tri_idx_chunks).astype(np.int32),
+            # LIGHT-ORDER pmf (instanced mode; see lights.py light_tri_pmf_at)
+            light_tri_pmf=np.concatenate(tri_pmf_chunks).astype(np.float32),
+            emissive_importance=np.asarray(unit_importance, np.float32),
+            light_tri_alias_prob=np.concatenate(
+                tri_aprob_chunks).astype(np.float32),
+            light_tri_alias_local=np.concatenate(
+                tri_aidx_chunks).astype(np.int32),
+        )
+
+        transforms = np.stack(inst_transform).astype(np.float32)
+        inv = np.zeros_like(transforms)
+        for i, t in enumerate(transforms):
+            r_inv = np.linalg.inv(t[:, :3].astype(np.float64))
+            inv[i, :, :3] = r_inv
+            inv[i, :, 3] = -r_inv @ t[:, 3].astype(np.float64)
+        instances = InstanceTable(
+            transform=np.asarray(transforms),
+            inv_transform=np.asarray(inv),
+            prev_transform=np.asarray(transforms),
+            uniform_scale=np.asarray(inst_scale, np.float32),
+        )
+
+        # traversal (BVH-permuted) global tri -> blas-wide geometry-order
+        # index (see types.SceneData.tri_light_local)
+        n_blas_tris = cursor
+        tri_light_local = np.empty(n_blas_tris, np.int32)
+        for b in range(len(blas_groups)):
+            lo = blas_tri_base[b]
+            n = len(perms[b])
+            tri_light_local[lo:lo + n] = perms[b].astype(np.int32)
+
+        scene = SceneData(
+            materials=self._materials_table(mats),
+            triangles=triangles,
+            units=units,
+            instances=instances,
+            light_unit_cdf=np.asarray(unit_cdf, np.float32),
+            light_unit_pmf=np.asarray(unit_pmf, np.float32),
+            light_unit_alias_prob=np.asarray(unit_aprob, np.float32),
+            light_unit_alias_idx=np.asarray(unit_aidx, np.int32),
+            total_emissive_importance=np.float32(total_imp),
+            env=self._env_light(),
+            object_triangles=None,
+            textures=self.atlas.build() if self.atlas.images else None,
+            inst_unit_base=np.asarray(inst_unit_base, np.int32),
+            unit_tri_base=np.asarray(unit_tri_base, np.int32),
+            tri_light_local=tri_light_local,
+        )
+        return scene, acc
 
 
 def compute_smooth_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:

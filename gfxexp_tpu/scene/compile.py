@@ -59,6 +59,10 @@ def compile_scene(
     traversal="widerow" produces the packed row table for the ordered-stack
     Pallas kernel (accel/pallas_widestack.py — the fast TPU path);
     traversal="wide" produces the stack-based wide BVH."""
+    if traversal == "instanced":
+        # two-level BLAS/instance mode (GAS/IAS analogue): the builder
+        # produces object-space shared tables + the InstancedAccel directly
+        return builder.compile_instanced(arity=arity, max_leaf=max_leaf)
     scene = builder.compile()
     if traversal == "widerow":
         from gfxexp_tpu.accel.pallas_widestack import build_widerow

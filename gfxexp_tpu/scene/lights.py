@@ -19,6 +19,7 @@ Conventions (matching the reference):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -119,7 +120,12 @@ def _select_emissive_triangle(scene: SceneData, u_sel):
         local = _segment_searchsorted(units.light_tri_cdf, offset, count,
                                       u_re)
     tri = units.light_tri_index[offset + local]
-    tri_pmf = units.light_tri_pmf[tri]
+    if scene.is_instanced:
+        # pmf is stored in LIGHT order for instanced scenes (a blas tri id
+        # is shared by many units)
+        tri_pmf = units.light_tri_pmf[offset + local]
+    else:
+        tri_pmf = units.light_tri_pmf[tri]
     return unit, tri, unit_pmf, tri_pmf
 
 
@@ -190,6 +196,22 @@ def sample_surface_light(scene: SceneData, u_sel, u0, u1) -> LightSample:
     p0 = tris.p0[tri]
     e1 = tris.e1[tri]
     e2 = tris.e2[tri]
+    n0 = tris.n0[tri]
+    n1 = tris.n1[tri]
+    n2 = tris.n2[tri]
+    if scene.is_instanced:
+        # object->world through the unit's instance; pdf uses WORLD area
+        insti = units.instance[unit]
+        m = scene.instances.transform[insti]
+        rot = m[:, :, :3]
+        hi = jax.lax.Precision.HIGHEST
+        p0 = jnp.einsum("nij,nj->ni", rot, p0, precision=hi) + m[:, :, 3]
+        e1 = jnp.einsum("nij,nj->ni", rot, e1, precision=hi)
+        e2 = jnp.einsum("nij,nj->ni", rot, e2, precision=hi)
+        ninv = scene.instances.inv_transform[insti][:, :, :3]
+        n0 = jnp.einsum("nji,nj->ni", ninv, n0, precision=hi)
+        n1 = jnp.einsum("nji,nj->ni", ninv, n1, precision=hi)
+        n2 = jnp.einsum("nji,nj->ni", ninv, n2, precision=hi)
     # barycentrics: position = (1-b1-b2) p0 + b1 p1 + b2 p2; corner weights
     # (bcA, bcB, bcC) from the low-distortion map with bcC = 1 - bcA - bcB
     b_c = 1.0 - b_a - b_b
@@ -200,9 +222,6 @@ def sample_surface_light(scene: SceneData, u_sel, u0, u1) -> LightSample:
     rec_area = 2.0 / jnp.maximum(cr_len, 1e-20)
     pdf = unit_pmf * tri_pmf * rec_area
 
-    n0 = tris.n0[tri]
-    n1 = tris.n1[tri]
-    n2 = tris.n2[tri]
     normal = b_a[..., None] * n0 + b_b[..., None] * n1 + b_c[..., None] * n2
     normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-20)
 
@@ -234,6 +253,15 @@ def sample_surface_light_solid_angle(scene: SceneData, shading_point,
     p_a = tris.p0[tri]
     p_b = p_a + tris.e1[tri]
     p_c = p_a + tris.e2[tri]
+    if scene.is_instanced:
+        insti = units.instance[unit]
+        m = scene.instances.transform[insti]
+        rot = m[:, :, :3]
+        hi = jax.lax.Precision.HIGHEST
+        tr = m[:, :, 3]
+        p_a = jnp.einsum("nij,nj->ni", rot, p_a, precision=hi) + tr
+        p_b = jnp.einsum("nij,nj->ni", rot, p_b, precision=hi) + tr
+        p_c = jnp.einsum("nij,nj->ni", rot, p_c, precision=hi) + tr
     geom_n = jnp.cross(p_b - p_a, p_c - p_a)
 
     def norm(v):
@@ -300,6 +328,12 @@ def sample_surface_light_solid_angle(scene: SceneData, shading_point,
     )
 
     n0, n1, n2 = tris.n0[tri], tris.n1[tri], tris.n2[tri]
+    if scene.is_instanced:
+        ninv = scene.instances.inv_transform[insti][:, :, :3]
+        hi = jax.lax.Precision.HIGHEST
+        n0 = jnp.einsum("nji,nj->ni", ninv, n0, precision=hi)
+        n1 = jnp.einsum("nji,nj->ni", ninv, n1, precision=hi)
+        n2 = jnp.einsum("nji,nj->ni", ninv, n2, precision=hi)
     normal = norm(bc_a[..., None] * n0 + bc_b[..., None] * n1
                   + bc_c[..., None] * n2)
     mat = units.material[unit]
@@ -413,15 +447,32 @@ def sample_light_solid_angle(scene: SceneData, shading_point, u_light, u0,
     )
 
 
-def surface_light_pdf(scene: SceneData, tri_idx):
+def surface_light_pdf(scene: SceneData, tri_idx, inst=None):
     """Area pdf of sampling triangle `tri_idx`'s surface point via
     sample_surface_light — for MIS weighting of implicit hits (reference:
-    computeHypotheticalAreaPDensity in CH programs)."""
+    computeHypotheticalAreaPDensity in CH programs). Instanced scenes need
+    the hit instance: pmf is per (instance, tri) and the area is the
+    WORLD-space one."""
     tris = scene.triangles
-    unit = tris.unit_id[tri_idx]
+    if scene.is_instanced:
+        insti = jnp.maximum(jnp.asarray(inst), 0)
+        unit = scene.inst_unit_base[insti] + tris.unit_id[tri_idx]
+        light_pos = (scene.units.tri_offset[unit]
+                     + scene.tri_light_local[tri_idx]
+                     - scene.unit_tri_base[unit])
+        tri_pmf = scene.units.light_tri_pmf[light_pos]
+        m = scene.instances.transform[insti]
+        rot = m[:, :, :3]
+        hi = jax.lax.Precision.HIGHEST
+        e1 = jnp.einsum("nij,nj->ni", rot, tris.e1[tri_idx], precision=hi)
+        e2 = jnp.einsum("nij,nj->ni", rot, tris.e2[tri_idx], precision=hi)
+    else:
+        unit = tris.unit_id[tri_idx]
+        tri_pmf = scene.units.light_tri_pmf[tri_idx]
+        e1 = tris.e1[tri_idx]
+        e2 = tris.e2[tri_idx]
     unit_pmf = scene.light_unit_pmf[unit]
-    tri_pmf = scene.units.light_tri_pmf[tri_idx]
-    cr = jnp.cross(tris.e1[tri_idx], tris.e2[tri_idx])
+    cr = jnp.cross(e1, e2)
     cr_len = jnp.linalg.norm(cr, axis=-1)
     rec_area = 2.0 / jnp.maximum(cr_len, 1e-20)
     return unit_pmf * tri_pmf * rec_area

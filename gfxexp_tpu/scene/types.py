@@ -173,6 +173,25 @@ class SceneData:
     # UnitTable alias note); None after device-side light rebuilds
     light_unit_alias_prob: Optional[jnp.ndarray] = None
     light_unit_alias_idx: Optional[jnp.ndarray] = None
+    # ---- two-level (instanced) mode (compile_scene(traversal="instanced"),
+    # the TPU analogue of the reference's GAS/IAS split, common_host.h:1027).
+    # When set: `triangles` holds OBJECT-space BLAS triangles shared by all
+    # instances (unit_id = LOCAL geometry index within the owning BLAS
+    # group), hits carry an instance id, and shading/light code transforms
+    # through InstanceTable. Unit enumeration is instance-major in group
+    # order, so unit = inst_unit_base[inst] + triangles.unit_id[tri].
+    inst_unit_base: Optional[jnp.ndarray] = None  # [I] int32
+    # light-order position of (unit u, traversal tri t) =
+    #   units.tri_offset[u] + tri_light_local[t] - unit_tri_base[u]
+    # where tri_light_local maps a (BVH-permuted) global BLAS triangle to
+    # its blas-wide GEOMETRY-order index, and unit_tri_base is the
+    # geometry-order base of the unit's geom within its BLAS.
+    unit_tri_base: Optional[jnp.ndarray] = None  # [U] int32
+    tri_light_local: Optional[jnp.ndarray] = None  # [T] int32
+
+    @property
+    def is_instanced(self):
+        return self.inst_unit_base is not None
 
     @property
     def num_triangles(self):

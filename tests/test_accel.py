@@ -251,3 +251,71 @@ def test_widestack_chunked_matches_bruteforce(rng_np):
     m = np.asarray(hr.hit)
     assert np.allclose(np.asarray(hw.t)[m], np.asarray(hr.t)[m], rtol=1e-4)
     assert np.array_equal(np.asarray(hw.tri)[m], np.asarray(hr.tri)[m])
+
+
+def test_instanced_matches_flattened_bruteforce(rng_np):
+    """Two-level (BLAS x instances) traversal must agree with brute force
+    over the world-space flattened copies: same hits, same t, and the
+    (instance, local tri) pair must identify the same world triangle."""
+    from gfxexp_tpu.accel.pallas_widestack import (
+        build_instanced,
+        intersect_any_instanced,
+        intersect_closest_instanced,
+    )
+
+    p0, p1, p2 = _random_tri_soup(rng_np, 80, spread=1.5)
+    q0, q1, q2 = _random_tri_soup(rng_np, 50, spread=1.0)
+
+    def xform(scale, rot_axis, angle, t):
+        c, s = np.cos(angle), np.sin(angle)
+        if rot_axis == 1:
+            r = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        else:
+            r = np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+        m = np.zeros((3, 4))
+        m[:, :3] = r * scale
+        m[:, 3] = t
+        return m.astype(np.float32)
+
+    instances = [
+        (0, xform(1.0, 1, 0.0, [0, 0, 0])),
+        (1, xform(0.7, 2, 0.8, [4, 1, -2])),
+        (0, xform(1.3, 1, 2.1, [-4, -1, 3])),
+        (1, xform(1.0, 2, -0.5, [1, 5, 2])),
+    ]
+    acc, perms = build_instanced(
+        [(p0, p1 - p0, p2 - p0), (q0, q1 - q0, q2 - q0)], instances)
+
+    # flattened world-space ground truth in the SAME global tri order
+    blas_tris = [(p0[perms[0]], p1[perms[0]], p2[perms[0]]),
+                 (q0[perms[1]], q1[perms[1]], q2[perms[1]])]
+    n_rays = 300
+    o = rng_np.uniform(-8, 8, size=(n_rays, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    hit, inst = intersect_closest_instanced(acc, jnp.asarray(o), jnp.asarray(d))
+
+    # oracle: per instance, transform tris to world, brute-force, merge
+    best_t = np.full(n_rays, 1e30, np.float32)
+    best_key = np.full((n_rays, 2), -1, np.int32)  # (inst, global tri)
+    tri_base = [0, len(p0)]
+    for ii, (b, m) in enumerate(instances):
+        w0, w1, w2 = (blas_tris[b][k] @ m[:, :3].T + m[:, 3] for k in range(3))
+        soa = _make_soa(w0.astype(np.float32), w1.astype(np.float32),
+                        w2.astype(np.float32))
+        hr = intersect_closest_brute(soa, jnp.asarray(o), jnp.asarray(d))
+        t = np.asarray(hr.t)
+        tr = np.asarray(hr.tri)
+        take = np.asarray(hr.hit) & (t < best_t)
+        best_t = np.where(take, t, best_t)
+        best_key[take, 0] = ii
+        best_key[take, 1] = tri_base[b] + tr[take]
+
+    m_hit = best_key[:, 0] >= 0
+    assert np.array_equal(np.asarray(hit.hit), m_hit)
+    assert np.allclose(np.asarray(hit.t)[m_hit], best_t[m_hit], rtol=2e-3)
+    assert np.array_equal(np.asarray(inst)[m_hit], best_key[m_hit, 0])
+    assert np.array_equal(np.asarray(hit.tri)[m_hit], best_key[m_hit, 1])
+    occ = intersect_any_instanced(acc, jnp.asarray(o), jnp.asarray(d))
+    assert np.array_equal(np.asarray(occ), m_hit)

@@ -123,3 +123,41 @@ def test_solid_angle_sampling_matches_area():
                         PTConfig(**base, use_solid_angle_sampling=True))
     rel = abs(sa.mean() - area.mean()) / area.mean()
     assert rel < 0.05, (sa.mean(), area.mean())
+
+
+def test_instanced_scene_matches_flattened():
+    """Two-level (BLAS x instance) compile must produce the same image as
+    the flattened compile — exercises instanced traversal, world-space
+    surface points, NEE light sampling through instance transforms, and
+    implicit-hit MIS pdfs (reference: GAS/IAS split, common_host.h:1027)."""
+    import numpy as np
+
+    from scenes import box_scene
+    from gfxexp_tpu.scene.builder import affine
+    from gfxexp_tpu.scene.compile import compile_scene
+
+    def make_builder():
+        b = box_scene()
+        mat = b.add_lambert_material((0.6, 0.3, 0.3))
+        sph = b.add_sphere(0.35, mat, n_theta=12, n_phi=24)
+        for t in ([-0.8, -1.2, 0.0], [0.0, -1.4, -0.8], [0.9, -1.1, 0.4]):
+            b.add_instance(sph, affine(translation=t))
+        return b
+
+    cam = make_camera([0, 0.5, 1.9], fov_y=np.deg2rad(75), aspect=1.0,
+                      target=[0, 0.0, -1.0])
+    cfg = PTConfig(max_path_length=4)
+    scene_f, bvh_f = compile_scene(make_builder(), traversal="widerow")
+    scene_i, acc_i = compile_scene(make_builder(), traversal="instanced")
+    # instancing shares geometry: 3 spheres -> 1 BLAS triangle set
+    assert scene_i.num_triangles < scene_f.num_triangles
+
+    accf = np.zeros((32 * 32, 3), np.float64)
+    acci = np.zeros((32 * 32, 3), np.float64)
+    for s in range(4):
+        accf += np.asarray(
+            render_sample(scene_f, bvh_f, cam, 32, 32, jnp.uint32(s), cfg))
+        acci += np.asarray(
+            render_sample(scene_i, acc_i, cam, 32, 32, jnp.uint32(s), cfg))
+    assert np.allclose(accf / 4, acci / 4, atol=1e-4), np.abs(
+        accf / 4 - acci / 4).max()
