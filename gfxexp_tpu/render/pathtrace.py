@@ -91,6 +91,9 @@ class PTConfig:
     # (reference: BSDFFlags::Regularize — smoothness *= 0.5 at BSDF setup,
     # common_device.cuh:795-797; toggled by SVGF's mollifySpecular)
     mollify_specular: bool = False
+    # displaced geometry (scene.displaced): trace shadow rays against it too
+    # (self-shadowing); costs one narrow-phase pass per NEE
+    displaced_shadows: bool = True
 
     @property
     def use_mis(self):
@@ -181,6 +184,58 @@ def compute_surface_point(scene: SceneData, tri_idx, u, v,
     )
 
 
+def _displaced_closest(scene, ray_o, ray_d, tmax):
+    """Closest hit against every displaced geometry in the scene (returns
+    None when there is none). Reference: TFDM/NRTDSM register displaced
+    surfaces as custom primitives in the same GAS the path tracer walks
+    (tfdm/gpu_kernels/optix_pathtracing_kernels.cu); here they are a
+    post-pass composited with the triangle hit by distance."""
+    if not scene.displaced:
+        return None
+    from gfxexp_tpu.techniques.tfdm import TFDMGeometry, intersect_tfdm_v2
+
+    best = None
+    for gi, g in enumerate(scene.displaced):
+        if isinstance(g, TFDMGeometry):
+            dh = intersect_tfdm_v2(g, ray_o, ray_d, t_min=1e-4, t_max=tmax)
+        else:  # NRTDSMGeometry
+            from gfxexp_tpu.techniques.nrtdsm import intersect_nrtdsm_v2
+
+            dh = intersect_nrtdsm_v2(g, ray_o, ray_d, t_min=1e-4, t_max=tmax)
+        mat = jnp.full_like(dh.prim, g.material)
+        if best is None:
+            best = (dh.t, dh.hit, dh.position, dh.normal, dh.uv, mat)
+        else:
+            take = dh.hit & (dh.t < best[0])
+            best = (
+                jnp.where(take, dh.t, best[0]),
+                best[1] | dh.hit,
+                jnp.where(take[:, None], dh.position, best[2]),
+                jnp.where(take[:, None], dh.normal, best[3]),
+                jnp.where(take[:, None], dh.uv, best[4]),
+                jnp.where(take, mat, best[5]),
+            )
+    return best
+
+
+def _displaced_occluded(scene, o, d, tmax):
+    """Any-hit against displaced geometry for shadow rays."""
+    occ = jnp.zeros(o.shape[:1], bool)
+    if not scene.displaced:
+        return occ
+    from gfxexp_tpu.techniques.tfdm import TFDMGeometry, intersect_tfdm_v2
+
+    for g in scene.displaced:
+        if isinstance(g, TFDMGeometry):
+            dh = intersect_tfdm_v2(g, o, d, t_min=1e-4, t_max=tmax)
+        else:
+            from gfxexp_tpu.techniques.nrtdsm import intersect_nrtdsm_v2
+
+            dh = intersect_nrtdsm_v2(g, o, d, t_min=1e-4, t_max=tmax)
+        occ = occ | dh.hit
+    return occ
+
+
 def _intersect_closest_sorted(bvh, tris, ray_o, ray_d, alive):
     """Closest hit with direction-octant ray sorting: bounce rays are
     incoherent in pixel order, which blows up the tile-shared traverser's
@@ -256,6 +311,9 @@ def _next_event(scene, bvh, sp: SurfacePoint, v_out_local, frame, params, rs,
     occluded = intersect_any(
         bvh, scene.triangles, sp.position, shadow_dir, t_min=0.0, t_max=shadow_tmax
     )
+    if scene.displaced and cfg.displaced_shadows:
+        occluded = occluded | _displaced_occluded(
+            scene, sp.position, shadow_dir, shadow_tmax)
     visible = potential & ~occluded
 
     le = ls.emittance / _PI  # diffuse emitter
@@ -355,7 +413,7 @@ def render_lanes(
         rs = SampleStream(pixel, sample_idx, stream=bounce)
         if cfg.count_rays:
             rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
-        if cfg.sort_secondary_rays and not first:
+        if cfg.sort_secondary_rays and not first and not scene.displaced:
             hit = _intersect_closest_sorted(bvh, scene.triangles, ray_o,
                                             ray_d, alive)
         else:
@@ -363,6 +421,15 @@ def render_lanes(
             tmax = jnp.where(alive, 1e30, -1.0)
             hit = intersect_closest(bvh, scene.triangles, ray_o, ray_d,
                                     t_min=0.0, t_max=tmax)
+        disp = _displaced_closest(
+            scene, ray_o, ray_d, jnp.where(alive, hit.t, -1.0))
+        if disp is not None:
+            # displaced hits were clipped by the triangle hit's t, so any
+            # reported hit is the closer one
+            d_t, d_hit, d_pos, d_nrm, d_uv, d_mat = disp
+            d_take = alive & d_hit
+            hit = hit.replace(t=jnp.where(d_take, d_t, hit.t),
+                              hit=hit.hit | d_take)
         hit_ok = alive & hit.hit
         miss = alive & ~hit.hit
 
@@ -383,6 +450,23 @@ def render_lanes(
 
         sp = compute_surface_point(scene, hit.tri, hit.u, hit.v,
                                    inst=hit.inst)
+        if disp is not None:
+            # overlay displaced-surface attributes (reference: the custom-IS
+            # CH program fills the same hit-point params)
+            from gfxexp_tpu.core.math import make_frame as _mf
+
+            d_tan, _ = _mf(d_nrm)
+            d3 = d_take[..., None]
+            sp = sp.replace(
+                position=jnp.where(d3, d_pos, sp.position),
+                geom_normal=jnp.where(d3, d_nrm, sp.geom_normal),
+                shading_normal=jnp.where(d3, d_nrm, sp.shading_normal),
+                texcoord=jnp.where(d3, d_uv, sp.texcoord),
+                tangent=jnp.where(d3, d_tan, sp.tangent),
+                material=jnp.where(d_take, d_mat, sp.material),
+                emittance=jnp.where(
+                    d3, scene.materials.emittance[d_mat], sp.emittance),
+            )
         v_out = -ray_d
         front = jnp.sum(v_out * sp.geom_normal, axis=-1) >= 0.0
         gn_signed = jnp.where(front[..., None], sp.geom_normal, -sp.geom_normal)

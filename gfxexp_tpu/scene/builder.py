@@ -99,6 +99,7 @@ class SceneBuilder:
         self.env_rotation: float = 0.0
         self.atlas = AtlasBuilder()
         self._texture_cache: dict = {}
+        self.displaced_geoms: List[tuple] = []
 
     def add_texture(self, image: np.ndarray) -> int:
         """Register a texture image ([H,W,C] float linear); returns id."""
@@ -267,6 +268,40 @@ class SceneBuilder:
             HostInstance(list(geometries), np.asarray(transform, np.float32), controller)
         )
         return len(self.instances) - 1
+
+    def add_displaced(self, positions, indices, uvs, height, params=None,
+                      material: int = 0, kind: str = "tfdm",
+                      normals=None) -> int:
+        """Displaced base mesh rendered as a first-class scene primitive
+        (reference: createTFDMGeometryInstance /
+        createNRTDSMGeometryInstance, common_host.cpp:1907/1953).
+        kind: "tfdm" (tangent-space texel walk) or "nrtdsm" (exact
+        nonlinear shell intersection)."""
+        self.displaced_geoms.append(
+            (kind, np.asarray(positions, np.float32),
+             np.asarray(indices, np.int32), np.asarray(uvs, np.float32),
+             np.asarray(height, np.float32), params, int(material), normals))
+        return len(self.displaced_geoms) - 1
+
+    def _build_displaced(self):
+        if not self.displaced_geoms:
+            return None
+        out = []
+        for (kind, pos, idx, uvs, height, params, mat,
+             normals) in self.displaced_geoms:
+            if kind == "tfdm":
+                from gfxexp_tpu.techniques.tfdm import build_tfdm_geometry
+
+                out.append(build_tfdm_geometry(
+                    pos, idx, uvs, height, params=params, material=mat,
+                    normals=normals))
+            else:
+                from gfxexp_tpu.techniques.nrtdsm import build_nrtdsm_geometry
+
+                out.append(build_nrtdsm_geometry(
+                    pos, idx, uvs, height, params=params, material=mat,
+                    normals=normals))
+        return tuple(out)
 
     # -- environment -------------------------------------------------------
 
@@ -457,6 +492,7 @@ class SceneBuilder:
             env=env,
             object_triangles=object_triangles,
             textures=self.atlas.build() if self.atlas.images else None,
+            displaced=self._build_displaced(),
         )
 
 

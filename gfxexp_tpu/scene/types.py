@@ -188,6 +188,12 @@ class SceneData:
     # geometry-order base of the unit's geom within its BLAS.
     unit_tri_base: Optional[jnp.ndarray] = None  # [U] int32
     tri_light_local: Optional[jnp.ndarray] = None  # [T] int32
+    # displaced geometries (techniques.tfdm.TFDMGeometry /
+    # techniques.nrtdsm.NRTDSMGeometry pytrees) rendered as first-class
+    # primitives by the path tracer (render/pathtrace._displaced_closest);
+    # the reference registers them as custom-IS primitives in the GAS
+    # (createTFDMGeometryInstance, common_host.cpp:1907)
+    displaced: Optional[tuple] = None
 
     @property
     def is_instanced(self):

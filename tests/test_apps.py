@@ -90,7 +90,7 @@ def test_tfdm_app(tmp_path):
 
     out = str(tmp_path / "tfdm")
     main(["-width", "16", "-height", "16", "-frames", "1",
-          "-height-kind", "bumps", "-output", out])
+          "-height-kind", "bumps", "-base-res", "6", "-output", out])
     img = _load(out)
     assert img.mean() > 0.001, img.mean()
 
@@ -100,7 +100,7 @@ def test_nrtdsm_app(tmp_path):
 
     out = str(tmp_path / "nrtdsm")
     main(["-width", "16", "-height", "16", "-frames", "1",
-          "-height-kind", "bumps", "-output", out])
+          "-height-kind", "bumps", "-base-res", "4", "-output", out])
     img = _load(out)
     assert img.mean() > 0.001, img.mean()
 
