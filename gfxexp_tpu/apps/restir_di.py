@@ -21,7 +21,11 @@ def main(argv=None):
     p.add_argument("-no-spatial", action="store_true")
     p.add_argument("-no-reuse-visibility", action="store_true")
     p.add_argument("-rearch", action="store_true",
-                   help="rearchitected pipeline (light presampling)")
+                   help="rearchitected pipeline (light presampling + "
+                        "decoupled shadow/shade passes)")
+    p.add_argument("-reuse-vis-temporal", action="store_true",
+                   help="rearch: reuse last frame's selected-sample "
+                        "visibility for the temporal candidate (no ray)")
     p.add_argument("-light-subsets", type=int, default=128)
     p.add_argument("-light-subset-size", type=int, default=1024)
     args = common.parse_scene_args(p, argv)
@@ -35,6 +39,7 @@ def main(argv=None):
     from gfxexp_tpu.scene.animation import advance_frame
     from gfxexp_tpu.scene.compile import compile_scene
     from gfxexp_tpu.techniques.restir_di import (
+        empty_sample_visibility,
         ReSTIRConfig,
         empty_reservoir,
         pixel_ctx,
@@ -59,12 +64,14 @@ def main(argv=None):
         use_rearchitected_pipeline=args.rearch,
         num_light_subsets=args.light_subsets,
         light_subset_size=args.light_subset_size,
+        reuse_visibility_for_temporal=args.reuse_vis_temporal,
     )
 
     n = args.width * args.height
     film = make_film(args.width, args.height)
     timer = common.PassTimer()
     res = empty_reservoir(n)
+    vis = empty_sample_visibility(n)
     gb = render_gbuffer(scene, bvh, camera, prev_camera,
                         args.width, args.height, jnp.uint32(0),
                         not args.no_jitter)
@@ -80,9 +87,9 @@ def main(argv=None):
         gb = timer.measure(
             "gbuffer", render_gbuffer, scene, bvh, camera, prev_camera,
             args.width, args.height, jnp.uint32(f), not args.no_jitter)
-        color, res, ctx = timer.measure(
+        color, res, ctx, vis = timer.measure(
             "restir", restir_di_frame, scene, bvh, gb, camera, res, ctx,
-            prev_hit, prev_pos, prev_nrm, jnp.uint32(f), cfg)
+            prev_hit, prev_pos, prev_nrm, jnp.uint32(f), cfg, vis)
         prev_hit = gb.hit.reshape(n)
         prev_pos = gb.position.reshape(n, 3)
         prev_nrm = gb.normal.reshape(n, 3)

@@ -61,12 +61,17 @@ class ReSTIRConfig:
     # "Rearchitecting Spatiotemporal Resampling for Production" pipeline
     # (reference: restir_di_shared.h:8-9 kNumLightSubsets=128 x 1024 presampled
     # lights/frame, per_pixel_ris.cu, decoupled visibility + shading in
-    # optix_restir_di_rearch_kernels.cu). Here: presampled pool + per-8x8-tile
-    # subset candidate draws; the decoupled shadow/shade stays fused in the
-    # shading pass (one batched kernel already).
+    # optix_restir_di_rearch_kernels.cu): presampled pool + per-8x8-tile
+    # subset candidate draws + a dedicated trace_shadow_rays pass producing
+    # SampleVisibility flags consumed by the ray-free shade_and_resample.
     use_rearchitected_pipeline: bool = False
     num_light_subsets: int = 128
     light_subset_size: int = 1024
+    # rearch only: reuse the previous frame's selected-sample visibility for
+    # the temporal candidate instead of tracing a shadow ray (reference:
+    # plp.f->reuseVisibilityForTemporal; biased estimator only) — halves the
+    # pipeline's shadow rays
+    reuse_visibility_for_temporal: bool = False
 
 
 @struct.dataclass
@@ -104,6 +109,28 @@ class PixelCtx:
     params: BSDFParams
     valid: jnp.ndarray  # [N]
     cam_dist: jnp.ndarray  # [N]
+
+
+@struct.dataclass
+class SampleVisibility:
+    """Per-pixel shadow-ray results of the decoupled visibility pass, SoA
+    (reference: SampleVisibility bitfield, restir_di_shared.h:146). All
+    flags refer to the CURRENT frame's samples; `selected` is written by
+    shade_and_resample and read back next frame when
+    reuse_visibility_for_temporal is on."""
+
+    new: jnp.ndarray  # [N] new (per-pixel RIS) sample visible at cur surface
+    temporal_passed: jnp.ndarray  # [N] temporal neighbor heuristic passed
+    temporal: jnp.ndarray  # [N] temporal sample visible at cur surface
+    new_on_temporal: jnp.ndarray  # [N] new sample visible at the temporal
+    #     neighbor's surface (unbiased cross term)
+    selected: jnp.ndarray  # [N] visibility of the finally selected sample
+
+
+def empty_sample_visibility(n: int) -> SampleVisibility:
+    f = jnp.zeros((n,), bool)
+    return SampleVisibility(new=f, temporal_passed=f, temporal=f,
+                            new_on_temporal=f, selected=f)
 
 
 def pixel_ctx(scene: SceneData, gb: GBuffer, camera: Camera) -> PixelCtx:
@@ -352,6 +379,174 @@ def _neighbor_ok(gb_prev_pos, gb_prev_nrm, gb_prev_hit, nb_idx, in_bounds,
             <= 0.1
         ) & (jnp.sum(ctx.n * nb_nrm, axis=-1) >= 0.9)
     return ok
+
+
+def _reproject(gb: GBuffer, pixel, w, h):
+    """Reprojected previous-frame pixel index via the motion vector."""
+    n = w * h
+    px = pixel.astype(jnp.int32) % w
+    py = pixel.astype(jnp.int32) // w
+    motion = gb.motion.reshape(n, 2)
+    nbx = jnp.floor(px.astype(jnp.float32) + 0.5 - motion[:, 0]).astype(jnp.int32)
+    nby = jnp.floor(py.astype(jnp.float32) + 0.5 - motion[:, 1]).astype(jnp.int32)
+    in_bounds = (nbx >= 0) & (nbx < w) & (nby >= 0) & (nby < h)
+    nb_idx = jnp.clip(nby, 0, h - 1) * w + jnp.clip(nbx, 0, w - 1)
+    return nb_idx, in_bounds
+
+
+def trace_shadow_rays(scene, bvh, ctx: PixelCtx, res: ReservoirSoA,
+                      prev_res: ReservoirSoA, prev_vis: SampleVisibility,
+                      prev_ctx: PixelCtx, gb: GBuffer,
+                      prev_hit, prev_pos_img, prev_nrm_img,
+                      camera: Camera, pixel, cfg: ReSTIRConfig):
+    """Decoupled visibility pass (reference: traceShadowRays*,
+    optix_restir_di_rearch_kernels.cu:15-255): traces shadow rays for the
+    new per-pixel-RIS sample and the temporal neighbor's sample, producing
+    SampleVisibility flags that shade_and_resample consumes ray-free. With
+    reuse_visibility_for_temporal (biased only) the temporal sample's ray
+    is skipped and the previous frame's selected-sample visibility at the
+    neighbor stands in — the production visibility-reuse trick.
+
+    Returns (SampleVisibility, rays_traced scalar)."""
+    h, w = gb.depth.shape
+    n = h * w
+    rays = jnp.zeros((), jnp.float32)
+
+    new_valid = ctx.valid & (res.sum_w > 0.0)
+    vis_new = _visibility(scene, bvh, ctx, res.pos, res.at_inf, new_valid)
+    rays = rays + jnp.sum(new_valid.astype(jnp.float32))
+
+    nb_idx, in_bounds = _reproject(gb, pixel, w, h)
+    passed = _neighbor_ok(
+        prev_pos_img, prev_nrm_img, prev_hit, nb_idx, in_bounds, ctx,
+        camera.position, test_geometry=not cfg.use_unbiased_estimator)
+
+    t_pos = prev_res.pos[nb_idx]
+    t_inf = prev_res.at_inf[nb_idx]
+    t_valid = passed & (prev_res.sum_w[nb_idx] > 0.0)
+    if cfg.reuse_visibility_for_temporal and not cfg.use_unbiased_estimator:
+        vis_temporal = prev_vis.selected[nb_idx] & t_valid
+    else:
+        vis_temporal = _visibility(scene, bvh, ctx, t_pos, t_inf, t_valid)
+        rays = rays + jnp.sum(t_valid.astype(jnp.float32))
+
+    if cfg.use_unbiased_estimator:
+        # cross term: the new sample seen from the temporal neighbor's
+        # surface (reference: newSampleOnTemporal)
+        nb_ctx = jax.tree_util.tree_map(lambda x: x[nb_idx], prev_ctx)
+        cross_valid = new_valid & passed
+        vis_new_on_t = _visibility(scene, bvh, nb_ctx, res.pos, res.at_inf,
+                                   cross_valid)
+        rays = rays + jnp.sum(cross_valid.astype(jnp.float32))
+    else:
+        vis_new_on_t = jnp.zeros((n,), bool)
+
+    return SampleVisibility(
+        new=vis_new, temporal_passed=passed, temporal=vis_temporal,
+        new_on_temporal=vis_new_on_t,
+        selected=jnp.zeros((n,), bool),
+    ), rays
+
+
+def shade_and_resample(scene, res: ReservoirSoA, prev_res: ReservoirSoA,
+                       vis: SampleVisibility, ctx: PixelCtx,
+                       prev_ctx: PixelCtx, gb: GBuffer, pixel, frame_idx,
+                       cfg: ReSTIRConfig):
+    """Ray-free temporal resample + shade from SampleVisibility flags
+    (reference: shadeAndResample*,
+    optix_restir_di_rearch_kernels.cu:403-681). Visibility enters the
+    candidate target densities (visibility-killed samples lose), and the
+    winner is shaded with its already-traced visibility. Returns
+    (color [H,W,3], reservoir, SampleVisibility with `selected` filled)."""
+    h, w = gb.depth.shape
+    n = h * w
+    rs = SampleStream(pixel, jnp.asarray(frame_idx, jnp.uint32),
+                      stream=0x7e40)
+
+    self_len = res.stream_len
+    # visibility-kill the new sample (reference: shadeAndResample zeroes
+    # the reservoir when the traced visibility failed)
+    new_dead = ~vis.new
+    res0 = res.replace(
+        sum_w=jnp.where(new_dead, 0.0, res.sum_w),
+        stream_len=jnp.where(new_dead, 0.0, res.stream_len),
+        target=jnp.where(new_dead, 0.0, res.target),
+    )
+    selected_target = res0.target
+    max_prev_len = 20.0 * self_len
+
+    nb_idx, _ = _reproject(gb, pixel, w, h)
+    accepted = vis.temporal_passed
+
+    nb_pos = prev_res.pos[nb_idx]
+    nb_nrm = prev_res.nrm[nb_idx]
+    nb_emit = prev_res.emit[nb_idx]
+    nb_inf = prev_res.at_inf[nb_idx]
+    nb_len = jnp.minimum(prev_res.stream_len[nb_idx], max_prev_len)
+    nb_rec_pdf = prev_res.rec_pdf[nb_idx]
+
+    cont = _unshadowed_contribution(ctx, nb_pos, nb_nrm, nb_emit, nb_inf)
+    # the temporal candidate's target at the current surface is gated by
+    # its TRACED (or reused) visibility — the decoupling's whole point
+    target = jnp.where(vis.temporal, _target_density(cont), 0.0)
+    weight = jnp.where(accepted, target * nb_rec_pdf * nb_len, 0.0)
+    merged, selected_target, neighbor_selected = _reservoir_update(
+        res0, nb_pos, nb_nrm, nb_emit, nb_inf, weight, rs.next(),
+        target, selected_target)
+    merged = merged.replace(
+        stream_len=self_len + jnp.where(accepted, nb_len, 0.0))
+
+    if cfg.use_unbiased_estimator:
+        cont_self = _unshadowed_contribution(
+            ctx, merged.pos, merged.nrm, merged.emit, merged.at_inf)
+        sel_vis_cur = jnp.where(neighbor_selected, vis.temporal, vis.new)
+        td_self = jnp.where(sel_vis_cur, _target_density(cont_self), 0.0)
+        if cfg.use_mis_ris:
+            num_w = jnp.where(neighbor_selected, 0.0, td_self)
+            den_w = td_self * self_len
+        else:
+            num_w = jnp.ones((n,), jnp.float32)
+            den_w = jnp.where(td_self > 0.0, self_len, 0.0)
+        nb_ctx = jax.tree_util.tree_map(lambda x: x[nb_idx], prev_ctx)
+        cont_nb = _unshadowed_contribution(
+            nb_ctx, merged.pos, merged.nrm, merged.emit, merged.at_inf)
+        # the survivor's visibility at the NEIGHBOR surface: the temporal
+        # sample was visible there last frame iff it was selected there;
+        # the new sample's cross visibility was traced
+        sel_vis_nb = jnp.where(neighbor_selected, vis.temporal,
+                               vis.new_on_temporal)
+        td_nb = jnp.where(accepted & sel_vis_nb,
+                          _target_density(cont_nb), 0.0)
+        if cfg.use_mis_ris:
+            den_w = den_w + td_nb * jnp.where(accepted, nb_len, 0.0)
+            num_w = jnp.where(neighbor_selected, td_nb, num_w)
+        else:
+            den_w = den_w + jnp.where(accepted & (td_nb > 0.0), nb_len, 0.0)
+        weight_for_estimate = num_w / jnp.maximum(den_w, 1e-30)
+    else:
+        weight_for_estimate = 1.0 / jnp.maximum(merged.stream_len, 1e-30)
+
+    rec_pdf = weight_for_estimate * merged.sum_w / jnp.maximum(
+        selected_target, 1e-30)
+    bad = ~jnp.isfinite(rec_pdf) | (selected_target <= 0.0)
+    merged = merged.replace(
+        rec_pdf=jnp.where(bad, 0.0, rec_pdf),
+        target=jnp.where(bad, 0.0, selected_target),
+    )
+
+    # selected-sample visibility: already known from the flags — shading
+    # traces NOTHING here
+    sel_vis = jnp.where(neighbor_selected, vis.temporal, vis.new)
+    emit = gb.emittance.reshape(n, 3)
+    direct_emit = jnp.where(
+        (ctx.valid & (ctx.v_out_local[:, 2] > 0))[:, None], emit / _PI, 0.0)
+    cont_sel = _unshadowed_contribution(
+        ctx, merged.pos, merged.nrm, merged.emit, merged.at_inf)
+    use = ctx.valid & (merged.rec_pdf > 0.0) & sel_vis
+    color = direct_emit + jnp.where(
+        use[:, None], cont_sel * merged.rec_pdf[:, None], 0.0)
+    return (color.reshape(h, w, 3), merged,
+            vis.replace(selected=sel_vis))
 
 
 def temporal_reuse(scene, res: ReservoirSoA, prev_res: ReservoirSoA,
@@ -611,30 +806,51 @@ def restir_di_frame(
     prev_nrm,
     frame_idx,
     cfg: ReSTIRConfig = ReSTIRConfig(),
+    prev_vis: SampleVisibility = None,
 ):
-    """Full ReSTIR DI frame: initial RIS -> temporal -> N spatial passes ->
-    shade. Returns (color [H,W,3], reservoir, ctx) — carry reservoir/ctx(+
-    gbuffer planes) to the next frame."""
+    """Full ReSTIR DI frame. Classic: initial RIS -> temporal -> N spatial
+    passes -> shade. Rearchitected: presampled per-pixel RIS -> decoupled
+    trace_shadow_rays -> ray-free shade_and_resample (+ optional fused
+    spatial passes before final shading parity). Returns (color [H,W,3],
+    reservoir, ctx, SampleVisibility) — carry all four to the next frame
+    (vis only matters for the rearch visibility-reuse path)."""
     h, w = gb.depth.shape
     n = h * w
     pixel = jnp.arange(n, dtype=jnp.uint32)
     frame_idx = jnp.asarray(frame_idx, jnp.uint32)
     ctx = pixel_ctx(scene, gb, camera)
+    if prev_vis is None:
+        prev_vis = empty_sample_visibility(n)
 
     if cfg.use_rearchitected_pipeline:
         pool = presample_lights(scene, frame_idx, cfg)
         res = initial_ris_presampled(scene, bvh, ctx, pool, gb, pixel,
                                      frame_idx, cfg)
+        if cfg.enable_temporal_reuse:
+            vis, _ = trace_shadow_rays(
+                scene, bvh, ctx, res, prev_reservoir, prev_vis, prev_ctx,
+                gb, prev_hit, prev_pos, prev_nrm, camera, pixel, cfg)
+            color, res, vis = shade_and_resample(
+                scene, res, prev_reservoir, vis, ctx, prev_ctx, gb, pixel,
+                frame_idx, cfg)
+            if cfg.enable_spatial_reuse:
+                for p in range(cfg.num_spatial_passes):
+                    res = spatial_reuse(scene, bvh, res, ctx, gb, camera,
+                                        pixel, frame_idx, p, cfg)
+                color = shade(scene, bvh, res, ctx, gb)
+            return color, res, ctx, vis
+        res_out = res
     else:
         res = initial_ris(scene, bvh, ctx, pixel, frame_idx, cfg)
-    if cfg.enable_temporal_reuse:
-        res = temporal_reuse(
-            scene, res, prev_reservoir, ctx, prev_ctx, gb,
-            prev_hit, prev_pos, prev_nrm, camera, pixel, frame_idx, cfg,
-        )
+        if cfg.enable_temporal_reuse:
+            res = temporal_reuse(
+                scene, res, prev_reservoir, ctx, prev_ctx, gb,
+                prev_hit, prev_pos, prev_nrm, camera, pixel, frame_idx, cfg,
+            )
+        res_out = res
     if cfg.enable_spatial_reuse:
         for p in range(cfg.num_spatial_passes):
-            res = spatial_reuse(scene, bvh, res, ctx, gb, camera, pixel,
-                                frame_idx, p, cfg)
-    color = shade(scene, bvh, res, ctx, gb)
-    return color, res, ctx
+            res_out = spatial_reuse(scene, bvh, res_out, ctx, gb, camera,
+                                    pixel, frame_idx, p, cfg)
+    color = shade(scene, bvh, res_out, ctx, gb)
+    return color, res_out, ctx, empty_sample_visibility(n)

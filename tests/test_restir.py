@@ -43,14 +43,16 @@ def _run(restir_scene, cfg, frames):
     n = W * H
     res = empty_reservoir(n)
     ctx = pixel_ctx(scene, gb, cam)
+    from gfxexp_tpu.techniques.restir_di import empty_sample_visibility
+    vis = empty_sample_visibility(n)
     prev_hit = gb.hit.reshape(n)
     prev_pos = gb.position.reshape(n, 3)
     prev_nrm = gb.normal.reshape(n, 3)
     acc = np.zeros((H, W, 3), np.float64)
     for f in range(frames):
-        color, res, ctx = restir_di_frame(
+        color, res, ctx, vis = restir_di_frame(
             scene, bvh, gb, cam, res, ctx, prev_hit, prev_pos, prev_nrm,
-            jnp.uint32(f), cfg,
+            jnp.uint32(f), cfg, vis,
         )
         acc += np.asarray(color)
     return acc / frames
@@ -118,7 +120,7 @@ def test_variance_reduction_vs_no_reuse():
         pn = gb.normal.reshape(n, 3)
         vals = []
         for f in range(frames):
-            color, res, ctx = restir_di_frame(
+            color, res, ctx, vis = restir_di_frame(
                 scene, bvh, gb, cam, res, ctx, ph, pp, pn, jnp.uint32(f), cfg)
             if f >= 10:  # skip warm-up
                 vals.append(np.asarray(color))
@@ -151,7 +153,7 @@ def test_rearchitected_pipeline_calibrated():
         pn = gb.normal.reshape(n, 3)
         acc = np.zeros((H, W, 3), np.float64)
         for f in range(frames):
-            color, res, ctx = restir_di_frame(
+            color, res, ctx, vis = restir_di_frame(
                 scene, bvh, gb, cam, res, ctx, ph, pp, pn, jnp.uint32(f), cfg)
             acc += np.asarray(color)
         return acc / frames
@@ -163,3 +165,68 @@ def test_rearchitected_pipeline_calibrated():
                               num_light_subsets=16, light_subset_size=128))
     rel = abs(rearch.mean() - classic.mean()) / classic.mean()
     assert rel < 0.06, (rearch.mean(), classic.mean())
+
+
+def test_rearch_decoupled_visibility(restir_scene):
+    """The decoupled trace_shadow_rays + shade_and_resample pipeline
+    (reference: optix_restir_di_rearch_kernels.cu) must agree with the
+    classic fused temporal pipeline in the mean, and visibility reuse must
+    measurably cut traced shadow rays."""
+    from gfxexp_tpu.techniques.restir_di import (
+        empty_sample_visibility,
+        trace_shadow_rays,
+    )
+
+    scene, bvh, cam, gb = restir_scene
+    n = W * H
+    frames = 24
+
+    def run(cfg):
+        res = empty_reservoir(n)
+        ctx = pixel_ctx(scene, gb, cam)
+        vis = empty_sample_visibility(n)
+        ph = gb.hit.reshape(n)
+        pp = gb.position.reshape(n, 3)
+        pn = gb.normal.reshape(n, 3)
+        acc = np.zeros((H, W, 3), np.float64)
+        for f in range(frames):
+            color, res, ctx, vis = restir_di_frame(
+                scene, bvh, gb, cam, res, ctx, ph, pp, pn, jnp.uint32(f),
+                cfg, vis)
+            acc += np.asarray(color)
+        return acc / frames
+
+    base = dict(enable_spatial_reuse=False, light_subset_size=64,
+                num_light_subsets=16)
+    classic = run(ReSTIRConfig(enable_spatial_reuse=False))
+    rearch = run(ReSTIRConfig(**base, use_rearchitected_pipeline=True))
+    reuse = run(ReSTIRConfig(**base, use_rearchitected_pipeline=True,
+                             reuse_visibility_for_temporal=True))
+    for name, img in (("rearch", rearch), ("reuse", reuse)):
+        rel = abs(img.mean() - classic.mean()) / classic.mean()
+        assert rel < 0.05, (name, img.mean(), classic.mean())
+
+    # shadow-ray count drop with visibility reuse: run the pass directly
+    from gfxexp_tpu.techniques.restir_di import (
+        initial_ris_presampled,
+        presample_lights,
+    )
+
+    cfg_a = ReSTIRConfig(**base, use_rearchitected_pipeline=True)
+    cfg_b = ReSTIRConfig(**base, use_rearchitected_pipeline=True,
+                         reuse_visibility_for_temporal=True)
+    ctx = pixel_ctx(scene, gb, cam)
+    pixel = jnp.arange(n, dtype=jnp.uint32)
+    pool = presample_lights(scene, jnp.uint32(1), cfg_a)
+    res = initial_ris_presampled(scene, bvh, ctx, pool, gb, pixel,
+                                 jnp.uint32(1), cfg_a)
+    prev_vis = empty_sample_visibility(n)
+    ph = gb.hit.reshape(n)
+    pp = gb.position.reshape(n, 3)
+    pn = gb.normal.reshape(n, 3)
+    _, rays_a = trace_shadow_rays(scene, bvh, ctx, res, res, prev_vis,
+                                  ctx, gb, ph, pp, pn, cam, pixel, cfg_a)
+    _, rays_b = trace_shadow_rays(scene, bvh, ctx, res, res, prev_vis,
+                                  ctx, gb, ph, pp, pn, cam, pixel, cfg_b)
+    assert float(rays_b) <= 0.55 * float(rays_a), (float(rays_a),
+                                                   float(rays_b))
