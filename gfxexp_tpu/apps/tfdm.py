@@ -139,14 +139,16 @@ def add_displacement_args(p):
     p.add_argument("-heatmap", action="store_true")
 
 
-def demo_scene(args, kind: str, params):
+def demo_scene(args, kind: str, params, shell_contents=None):
     """Full demo scene: floor + area light + specular sphere + the
     displaced base mesh as a first-class scene primitive (reference: the
     tfdm/nrtdsm apps path-trace displaced surfaces through the common
-    pipeline, tfdm/gpu_kernels/optix_pathtracing_kernels.cu)."""
+    pipeline, tfdm/gpu_kernels/optix_pathtracing_kernels.cu).
+    shell_contents=(positions, indices) switches to shell mapping."""
     from gfxexp_tpu.scene.builder import SceneBuilder, affine
 
-    height = load_or_procedural_height(args)
+    height = None if shell_contents is not None \
+        else load_or_procedural_height(args)
     b = SceneBuilder()
     floor = b.add_lambert_material((0.7, 0.7, 0.72))
     b.add_instance(b.add_rectangle(7.0, 7.0, floor),
@@ -169,19 +171,24 @@ def demo_scene(args, kind: str, params):
         normals = normals + tilt * radial
         normals = normals / np.maximum(
             np.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
-    b.add_displaced(positions, indices, uvs, height, params=params,
-                    material=disp_mat, kind=kind, normals=normals)
+    if shell_contents is not None:
+        spos, sidx = shell_contents
+        b.add_shell(positions, indices, uvs, spos, sidx, params=params,
+                    material=disp_mat, normals=normals)
+    else:
+        b.add_displaced(positions, indices, uvs, height, params=params,
+                        material=disp_mat, kind=kind, normals=normals)
     return b
 
 
-def run_displaced_app(args, kind: str, params):
+def run_displaced_app(args, kind: str, params, shell_contents=None):
     import jax.numpy as jnp
 
     from gfxexp_tpu.render.film import add_sample, make_film
     from gfxexp_tpu.render.pathtrace import PTConfig, render_sample
     from gfxexp_tpu.scene.compile import compile_scene
 
-    builder = demo_scene(args, kind, params)
+    builder = demo_scene(args, kind, params, shell_contents=shell_contents)
     scene, bvh = compile_scene(builder)
     camera = common.make_camera_from_args(args)
     cfg = PTConfig(max_path_length=args.max_path_length,
@@ -208,7 +215,11 @@ def run_displaced_app(args, kind: str, params):
         jx = jnp.full((n,), 0.5, jnp.float32)
         o, d = generate_rays(camera, args.width, args.height, jx, jx)
         g = scene.displaced[0]
-        fn = (intersect_tfdm_v2 if kind == "tfdm" else intersect_nrtdsm_v2)
+        if shell_contents is not None:
+            from gfxexp_tpu.techniques.shell import intersect_shell as fn
+        else:
+            fn = (intersect_tfdm_v2 if kind == "tfdm"
+                  else intersect_nrtdsm_v2)
         dh = fn(g, o, d)
         s = np.asarray(dh.steps).reshape(
             args.height, args.width).astype(np.float64)

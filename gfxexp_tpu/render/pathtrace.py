@@ -192,17 +192,22 @@ def _displaced_closest(scene, ray_o, ray_d, tmax):
     post-pass composited with the triangle hit by distance."""
     if not scene.displaced:
         return None
+    from gfxexp_tpu.techniques.shell import ShellGeometry, intersect_shell
     from gfxexp_tpu.techniques.tfdm import TFDMGeometry, intersect_tfdm_v2
 
     best = None
     for gi, g in enumerate(scene.displaced):
         if isinstance(g, TFDMGeometry):
             dh = intersect_tfdm_v2(g, ray_o, ray_d, t_min=1e-4, t_max=tmax)
+            mat = jnp.full_like(dh.prim, g.material)
+        elif isinstance(g, ShellGeometry):
+            dh = intersect_shell(g, ray_o, ray_d, t_min=1e-4, t_max=tmax)
+            mat = dh.mat  # multi-material shells
         else:  # NRTDSMGeometry
             from gfxexp_tpu.techniques.nrtdsm import intersect_nrtdsm_v2
 
             dh = intersect_nrtdsm_v2(g, ray_o, ray_d, t_min=1e-4, t_max=tmax)
-        mat = jnp.full_like(dh.prim, g.material)
+            mat = jnp.full_like(dh.prim, g.material)
         if best is None:
             best = (dh.t, dh.hit, dh.position, dh.normal, dh.uv, mat)
         else:
@@ -223,11 +228,14 @@ def _displaced_occluded(scene, o, d, tmax):
     occ = jnp.zeros(o.shape[:1], bool)
     if not scene.displaced:
         return occ
+    from gfxexp_tpu.techniques.shell import ShellGeometry, intersect_shell
     from gfxexp_tpu.techniques.tfdm import TFDMGeometry, intersect_tfdm_v2
 
     for g in scene.displaced:
         if isinstance(g, TFDMGeometry):
             dh = intersect_tfdm_v2(g, o, d, t_min=1e-4, t_max=tmax)
+        elif isinstance(g, ShellGeometry):
+            dh = intersect_shell(g, o, d, t_min=1e-4, t_max=tmax)
         else:
             from gfxexp_tpu.techniques.nrtdsm import intersect_nrtdsm_v2
 

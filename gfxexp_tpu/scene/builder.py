@@ -283,13 +283,34 @@ class SceneBuilder:
              np.asarray(height, np.float32), params, int(material), normals))
         return len(self.displaced_geoms) - 1
 
+    def add_shell(self, positions, indices, uvs, shell_positions,
+                  shell_indices, params=None, material: int = 0,
+                  normals=None, shell_materials=None) -> int:
+        """Shell-mapped base mesh: arbitrary texture-space contents
+        instanced inside each prism (reference: nrtdsm_main.cpp:772-875
+        shell BVH; nrtdsm_intersection_kernels.h:1632 forShellMapping)."""
+        self.displaced_geoms.append(
+            ("shell", np.asarray(positions, np.float32),
+             np.asarray(indices, np.int32), np.asarray(uvs, np.float32),
+             (np.asarray(shell_positions, np.float32),
+              np.asarray(shell_indices, np.int32), shell_materials),
+             params, int(material), normals))
+        return len(self.displaced_geoms) - 1
+
     def _build_displaced(self):
         if not self.displaced_geoms:
             return None
         out = []
         for (kind, pos, idx, uvs, height, params, mat,
              normals) in self.displaced_geoms:
-            if kind == "tfdm":
+            if kind == "shell":
+                from gfxexp_tpu.techniques.shell import build_shell_geometry
+
+                spos, sidx, smats = height
+                out.append(build_shell_geometry(
+                    pos, idx, uvs, spos, sidx, params=params, material=mat,
+                    normals=normals, shell_materials=smats))
+            elif kind == "tfdm":
                 from gfxexp_tpu.techniques.tfdm import build_tfdm_geometry
 
                 out.append(build_tfdm_geometry(
