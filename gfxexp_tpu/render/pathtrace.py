@@ -486,12 +486,23 @@ def render_lanes(
             from gfxexp_tpu.scene.textures import (
                 apply_bump,
                 decode_normal_map,
+                normal_from_height_map,
                 sample_bilinear,
             )
 
             ntid = scene.materials.normal_tex[sp.material]
             texel = sample_bilinear(scene.textures, ntid, sp.texcoord)
-            local_n = decode_normal_map(texel)
+            # reader select (reference: the three readModifiedNormal*
+            # callables, common_device.cuh:205-240)
+            if scene.materials.normal_map_kind is not None:
+                kind = scene.materials.normal_map_kind[sp.material]
+            else:
+                kind = jnp.zeros_like(ntid)
+            n3 = decode_normal_map(texel)
+            n2 = decode_normal_map(texel, two_channel=True)
+            nh = normal_from_height_map(scene.textures, ntid, sp.texcoord)
+            local_n = jnp.where((kind == 2)[:, None], nh,
+                                jnp.where((kind == 1)[:, None], n2, n3))
             bit = jnp.cross(nrm, sp.tangent)
             bumped = normalize(apply_bump(nrm, sp.tangent, bit, local_n))
             nrm = jnp.where((ntid >= 0)[:, None], bumped, nrm)

@@ -50,6 +50,8 @@ class HostMaterial:
     diffuse_tex: int = -1
     emittance_tex: int = -1
     normal_tex: int = -1
+    # 0 = 3ch normal map, 1 = 2ch, 2 = height map (common_device.cuh:205-240)
+    normal_map_kind: int = 0
     name: str = ""
 
 
@@ -344,6 +346,8 @@ class SceneBuilder:
             diffuse_tex=np.asarray([m.diffuse_tex for m in mats], np.int32),
             emittance_tex=np.asarray([m.emittance_tex for m in mats], np.int32),
             normal_tex=np.asarray([m.normal_tex for m in mats], np.int32),
+            normal_map_kind=np.asarray(
+                [m.normal_map_kind for m in mats], np.int32),
         )
 
     def _env_light(self):

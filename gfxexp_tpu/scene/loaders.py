@@ -185,3 +185,128 @@ def load_obj(
             builder.add_geometry(v, idx, mat_slot[mat_name], normals=n, texcoords=uv)
         )
     return geom_ids
+
+
+def load_ply(path: str, builder: SceneBuilder,
+             material: Optional[int] = None) -> List[int]:
+    """Parse a PLY mesh (ascii or binary_little_endian) and add it to
+    `builder`. Supports vertex properties x/y/z [nx/ny/nz] [u/v | s/t] and
+    triangle/polygon faces (fan-triangulated). One step toward the
+    reference's assimp multi-format import (common_host.cpp:2150)."""
+    import struct as _struct
+
+    with open(path, "rb") as f:
+        magic = f.readline().strip()
+        if magic != b"ply":
+            raise ValueError(f"{path}: not a PLY file")
+        fmt = None
+        elements = []  # (name, count, [(type, prop), ...])
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError("unexpected EOF in PLY header")
+            parts = line.decode("ascii", "replace").strip().split()
+            if not parts or parts[0] == "comment":
+                continue
+            if parts[0] == "format":
+                fmt = parts[1]
+            elif parts[0] == "element":
+                elements.append((parts[1], int(parts[2]), []))
+            elif parts[0] == "property":
+                if parts[1] == "list":
+                    elements[-1][2].append(("list", parts[2], parts[3],
+                                            parts[4]))
+                else:
+                    elements[-1][2].append(("scalar", parts[1], parts[2]))
+            elif parts[0] == "end_header":
+                break
+        if fmt not in ("ascii", "binary_little_endian"):
+            raise ValueError(f"unsupported PLY format {fmt}")
+
+        _SIZES = {"char": "b", "uchar": "B", "int8": "b", "uint8": "B",
+                  "short": "h", "ushort": "H", "int16": "h", "uint16": "H",
+                  "int": "i", "uint": "I", "int32": "i", "uint32": "I",
+                  "float": "f", "float32": "f", "double": "d",
+                  "float64": "d"}
+
+        verts = None
+        vert_props = None
+        faces = []
+        for name, count, props in elements:
+            if fmt == "ascii":
+                rows = []
+                for _ in range(count):
+                    rows.append(f.readline().decode().split())
+                if name == "vertex":
+                    vert_props = [p[1] if p[0] == "scalar" else None
+                                  for p in props]
+                    verts = np.asarray([[float(x) for x in r] for r in rows],
+                                       np.float64)
+                    vert_props = [p[2] for p in props if p[0] == "scalar"]
+                elif name == "face":
+                    for r in rows:
+                        k = int(r[0])
+                        idxs = [int(x) for x in r[1:1 + k]]
+                        for j in range(1, k - 1):
+                            faces.append([idxs[0], idxs[j], idxs[j + 1]])
+            else:
+                if name == "vertex":
+                    assert all(p[0] == "scalar" for p in props), \
+                        "list property on vertices unsupported"
+                    fmt_str = "<" + "".join(_SIZES[p[1]] for p in props)
+                    sz = _struct.calcsize(fmt_str)
+                    buf = f.read(sz * count)
+                    verts = np.asarray(
+                        [_struct.unpack_from(fmt_str, buf, i * sz)
+                         for i in range(count)], np.float64)
+                    vert_props = [p[2] for p in props]
+                elif name == "face":
+                    _, cnt_t, idx_t, _name = [
+                        p for p in props if p[0] == "list"][0]
+                    cfmt = "<" + _SIZES[cnt_t]
+                    ifmt_c = _SIZES[idx_t]
+                    csz = _struct.calcsize(cfmt)
+                    isz = _struct.calcsize("<" + ifmt_c)
+                    for _ in range(count):
+                        (k,) = _struct.unpack(cfmt, f.read(csz))
+                        idxs = _struct.unpack("<" + ifmt_c * k,
+                                              f.read(isz * k))
+                        for j in range(1, k - 1):
+                            faces.append([idxs[0], idxs[j], idxs[j + 1]])
+                else:
+                    # skip unknown fixed-size elements
+                    fmt_str = "<" + "".join(
+                        _SIZES[p[1]] for p in props if p[0] == "scalar")
+                    f.read(_struct.calcsize(fmt_str) * count)
+
+    if verts is None or not faces:
+        raise ValueError(f"{path}: no vertex/face data")
+    names = vert_props
+    def col(*cands):
+        for c in cands:
+            if c in names:
+                return verts[:, names.index(c)]
+        return None
+
+    pos = np.stack([col("x"), col("y"), col("z")], -1).astype(np.float32)
+    idx = np.asarray(faces, np.int32)
+    nx = col("nx")
+    normals = (np.stack([nx, col("ny"), col("nz")], -1).astype(np.float32)
+               if nx is not None else None)
+    u = col("u", "s", "texture_u")
+    uv = (np.stack([u, col("v", "t", "texture_v")], -1).astype(np.float32)
+          if u is not None else None)
+    if material is None:
+        material = builder.add_material(HostMaterial(name=os.path.basename(path)))
+    return [builder.add_geometry(pos, idx, material, normals=normals,
+                                 texcoords=uv)]
+
+
+def load_mesh(path: str, builder: SceneBuilder, **kw) -> List[int]:
+    """Extension-dispatched mesh import (OBJ / PLY)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".obj":
+        return load_obj(path, builder, **kw)
+    if ext == ".ply":
+        return load_ply(path, builder, **kw)
+    raise ValueError(f"unsupported mesh format: {ext}")

@@ -158,6 +158,27 @@ def apply_bump(shading_normal, tangent, bitangent, local_normal):
     )
 
 
+def normal_from_height_map(atlas: TextureAtlas, tex_id, uv,
+                           bump_scale: float = 1.0):
+    """Local-space modified normal from a HEIGHT texture by central
+    differences (reference: readModifiedNormalFromHeightMap,
+    common_device.cuh:227-240 — reads neighbor texels and builds
+    normalize(-dh/du, -dh/dv, 1)). Channel 0 is the height; `bump_scale`
+    scales the gradient like the reference's height scale."""
+    s = atlas.layers.shape[1]
+    eps = 1.0 / s
+    du = jnp.asarray([eps, 0.0], jnp.float32)
+    dv = jnp.asarray([0.0, eps], jnp.float32)
+    h_r = sample_bilinear(atlas, tex_id, uv + du)[:, 0]
+    h_l = sample_bilinear(atlas, tex_id, uv - du)[:, 0]
+    h_u = sample_bilinear(atlas, tex_id, uv + dv)[:, 0]
+    h_d = sample_bilinear(atlas, tex_id, uv - dv)[:, 0]
+    gx = bump_scale * (h_r - h_l) / (2.0 * eps)
+    gy = bump_scale * (h_u - h_d) / (2.0 * eps)
+    n = jnp.stack([-gx, -gy, jnp.ones_like(gx)], axis=-1)
+    return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+
+
 # ---------------------------------------------------------------------------
 # DDS loading with BC1 / BC3 / BC4 / BC5 decode
 # (reference: common/dds_loader.cpp — BC1-7 reader; BC6/7 omitted here, the

@@ -58,6 +58,10 @@ class MaterialTable:
     diffuse_tex: jnp.ndarray  # [M] int32
     emittance_tex: jnp.ndarray  # [M] int32
     normal_tex: jnp.ndarray  # [M] int32
+    # normal reader per material (reference: the three readModifiedNormal*
+    # callables, common_device.cuh:205-240): 0 = 3-channel normal map,
+    # 1 = 2-channel (z reconstructed), 2 = height map (central differences)
+    normal_map_kind: Optional[jnp.ndarray] = None  # [M] int32
 
 
 @struct.dataclass
