@@ -39,6 +39,11 @@ def make_arg_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("-no-jitter", action="store_true")
     p.add_argument("-bump", action="store_true", help="enable normal mapping")
     p.add_argument("-stats", action="store_true", help="print per-pass timings")
+    p.add_argument("-live", type=int, nargs="?", const=8716, default=None,
+                   metavar="PORT",
+                   help="serve a live progressive view over HTTP (the "
+                        "streaming stand-in for the reference's GLFW/ImGui "
+                        "window; default port 8716)")
     p.add_argument("-debug-switches", type=int, default=0,
                    help="8-bit runtime debug bitfield forwarded into kernels "
                         "(reference: PerFramePipelineLaunchParameters::"
@@ -240,6 +245,20 @@ class PassTimer:
         for name, vals in self.samples.items():
             parts.append(f"{name}: {np.mean(vals):.2f} ms")
         return ", ".join(parts)
+
+
+def maybe_viewer(args):
+    """Returns a LiveViewer when -live was requested, else None."""
+    if getattr(args, "live", None) is None:
+        return None
+    from gfxexp_tpu.utils.viewer import LiveViewer
+
+    return LiveViewer(port=args.live)
+
+
+def viewer_update(viewer, film_beauty, frame: int):
+    if viewer is not None:
+        viewer.update(np.asarray(film_beauty), frame=frame)
 
 
 def save_outputs(args, hdr_image: np.ndarray):

@@ -39,6 +39,7 @@ def main(argv=None):
 
     film = make_film(args.width, args.height)
     timer = common.PassTimer()
+    viewer = common.maybe_viewer(args)
     for f in range(args.frames):
         if controllers:
             scene, bvh = timer.measure(
@@ -48,6 +49,7 @@ def main(argv=None):
             args.width, args.height, jnp.uint32(f), cfg,
             jnp.uint32(args.debug_switches))
         film = add_sample(film, radiance.reshape(args.height, args.width, 3))
+        common.viewer_update(viewer, film.beauty, f + 1)
         if args.stats and (f % 16 == 15):
             print(f"frame {f + 1}/{args.frames}: {timer.report()}",
                   file=sys.stderr)

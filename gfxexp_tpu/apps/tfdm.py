@@ -196,11 +196,13 @@ def run_displaced_app(args, kind: str, params, shell_contents=None):
 
     film = make_film(args.width, args.height)
     timer = common.PassTimer()
+    viewer = common.maybe_viewer(args)
     for f in range(args.frames):
         radiance = timer.measure(
             "pathTrace", render_sample, scene, bvh, camera,
             args.width, args.height, jnp.uint32(f), cfg)
         film = add_sample(film, radiance.reshape(args.height, args.width, 3))
+        common.viewer_update(viewer, film.beauty, f + 1)
 
     common.save_outputs(args, np.asarray(film.beauty))
     if args.heatmap:

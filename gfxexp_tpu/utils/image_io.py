@@ -35,6 +35,25 @@ def save_png(path: str, image: np.ndarray, apply_srgb: bool = True):
     Image.fromarray(arr).save(path)
 
 
+def encode_png(image: np.ndarray, apply_srgb: bool = True) -> bytes:
+    """In-memory PNG encode (live viewer streaming)."""
+    import io
+
+    from PIL import Image
+
+    arr = np.asarray(image)
+    if arr.dtype != np.uint8:
+        arr = arr.astype(np.float32)
+        if apply_srgb:
+            arr = np.where(
+                arr <= 0.0031308, arr * 12.92,
+                1.055 * np.power(np.clip(arr, 0, 1), 1 / 2.4) - 0.055)
+        arr = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
 def load_png(path: str, to_linear: bool = True) -> np.ndarray:
     from PIL import Image
 
