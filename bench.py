@@ -44,7 +44,7 @@ def build_bench_scene(big: bool = False):
     from gfxexp_tpu.scene.loaders import load_obj
 
     cache_file = os.path.join(
-        _CACHE, "bench_scene_big_v5.pkl" if big else "bench_scene_v5.pkl")
+        _CACHE, "bench_scene_big_v6.pkl" if big else "bench_scene_v6.pkl")
     if os.path.exists(cache_file):
         with open(cache_file, "rb") as f:
             return pickle.load(f)  # numpy pytrees; main() moves them on-device
