@@ -186,9 +186,9 @@ def normal_from_height_map(atlas: TextureAtlas, tex_id, uv,
 # ---------------------------------------------------------------------------
 
 _DDS_MAGIC = 0x20534444
-_FOURCC = {b"DXT1": "BC1", b"DXT5": "BC3", b"BC4U": "BC4", b"ATI1": "BC4",
+_FOURCC = {b"DXT1": "BC1", b"DXT3": "BC2", b"DXT5": "BC3", b"BC4U": "BC4", b"ATI1": "BC4",
            b"BC5U": "BC5", b"ATI2": "BC5", b"DX10": "DX10"}
-_DXGI_TO_BC = {71: "BC1", 77: "BC3", 80: "BC4", 83: "BC5", 95: "BC6H", 98: "BC7"}
+_DXGI_TO_BC = {71: "BC1", 74: "BC2", 77: "BC3", 80: "BC4", 83: "BC5", 95: "BC6H", 98: "BC7"}
 
 
 def load_dds(path: str) -> np.ndarray:
@@ -220,13 +220,13 @@ def _decode_bc(data: bytes, off: int, width: int, height: int, fmt: str):
     bw = (width + 3) // 4
     bh = (height + 3) // 4
     block_size = 8 if fmt in ("BC1", "BC4") else 16
-    out_c = {"BC1": 4, "BC3": 4, "BC4": 1, "BC5": 2}[fmt]
+    out_c = {"BC1": 4, "BC2": 4, "BC3": 4, "BC4": 1, "BC5": 2}[fmt]
     out = np.zeros((bh * 4, bw * 4, out_c), np.float32)
     blocks = np.frombuffer(
         data, np.uint8, count=bh * bw * block_size, offset=off
     ).reshape(bh * bw, block_size)
 
-    if fmt in ("BC1", "BC3"):
+    if fmt in ("BC1", "BC2", "BC3"):
         color_off = 0 if fmt == "BC1" else 8
         c0 = blocks[:, color_off] | (blocks[:, color_off + 1].astype(np.uint32) << 8)
         c1 = blocks[:, color_off + 2] | (blocks[:, color_off + 3].astype(np.uint32) << 8)
@@ -244,7 +244,7 @@ def _decode_bc(data: bytes, off: int, width: int, height: int, fmt: str):
             return np.stack([r, g, b], axis=-1)
 
         p0, p1 = c565(c0), c565(c1)
-        four = (c0 > c1) | (fmt == "BC3")
+        four = (c0 > c1) | (fmt in ("BC2", "BC3"))
         pal = np.zeros((len(blocks), 4, 3), np.float32)
         pal[:, 0] = p0
         pal[:, 1] = p1
@@ -255,6 +255,15 @@ def _decode_bc(data: bytes, off: int, width: int, height: int, fmt: str):
         alpha = np.ones((len(blocks), 16, 1), np.float32)
         if fmt == "BC3":
             alpha = _decode_bc4_channel(blocks[:, 0:8])[..., None]
+        elif fmt == "BC2":
+            # explicit 4-bit alpha, LSB-first nibbles
+            # (reference: dds_loader BC2 path)
+            a64 = np.zeros(len(blocks), np.uint64)
+            for i in range(8):
+                a64 |= blocks[:, i].astype(np.uint64) << np.uint64(8 * i)
+            nib = (a64[:, None] >> (4 * np.arange(16, dtype=np.uint64)[None, :])
+                   ) & np.uint64(15)
+            alpha = (nib.astype(np.float32) / 15.0)[..., None]
         texels = np.concatenate([rgb, alpha], axis=-1)
     elif fmt == "BC4":
         texels = _decode_bc4_channel(blocks[:, 0:8])[..., None]

@@ -210,3 +210,26 @@ def test_ply_roundtrip(tmp_path):
     g2 = b2.geometries[gids2[0]]
     assert g2.positions.shape == (3, 3)
     assert float(g2.positions.max()) == 2.0
+
+
+def test_bc2_decode():
+    """BC2 = BC1 colors + explicit 4-bit alpha (reference:
+    dds_loader.cpp DXT3). One hand-built block: solid red colors,
+    ramping alpha nibbles."""
+    import struct
+
+    from gfxexp_tpu.scene.textures import _decode_bc
+
+    # alpha: texel i gets nibble i (0..15)
+    a = 0
+    for i in range(16):
+        a |= i << (4 * i)
+    alpha_bytes = a.to_bytes(8, "little")
+    red565 = 31 << 11
+    color = struct.pack("<HHI", red565, red565, 0)  # both endpoints red
+    block = alpha_bytes + color
+    out = _decode_bc(block, 0, 4, 4, "BC2")
+    assert out.shape == (4, 4, 4)
+    assert np.allclose(out[..., 0], 1.0, atol=0.04)  # red everywhere
+    flat_a = out[..., 3].reshape(16)
+    assert np.allclose(flat_a, np.arange(16) / 15.0, atol=1e-6)
