@@ -55,7 +55,7 @@ from gfxexp_tpu.accel.traverse import HitInfo
 from gfxexp_tpu.scene.types import TriangleSoA
 
 _LANE = 128
-ROWS = 32  # 128-ray rows per tile (32 measured best on v5e)
+ROWS = 64  # 128-ray rows per tile (64 best on the mixed primary+bounce mix)
 _COUNT_SHIFT = 24
 # lax.cond phase gates: measured slower than always-execute-predicated on
 # v5e (branch overhead > the masked work it saves); kept for A/B experiments

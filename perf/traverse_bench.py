@@ -186,6 +186,9 @@ def main():
         "ws4x4r8": widestack_fn(4, 4, 8),
         "ws4x4r16": widestack_fn(4, 4, 16),
         "ws8x4r8": widestack_fn(8, 4, 8),
+        "ws8x4r32": widestack_fn(8, 4, 32),
+        "ws4x4r64": widestack_fn(4, 4, 64),
+        "ws8x4r64": widestack_fn(8, 4, 64),
         "ws4x4r32": widestack_fn(4, 4, 32),
     }
     variants = {}
