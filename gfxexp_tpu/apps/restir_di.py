@@ -49,7 +49,11 @@ def main(argv=None):
     builder, controllers = common.build_scene_from_dsl(args, args.scene_args)
     if not builder.instances:
         builder = common.default_demo_builder()
-    scene, bvh = compile_scene(builder)
+    scene, bvh = compile_scene(
+        builder,
+        # static scenes get the fast wide-row kernel; animated ones
+        # need the refittable skip-link structure
+        traversal="skip" if controllers else "widerow")
     camera = common.make_camera_from_args(args)
     prev_camera = camera
     cfg = ReSTIRConfig(

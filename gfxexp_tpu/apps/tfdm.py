@@ -189,7 +189,7 @@ def run_displaced_app(args, kind: str, params, shell_contents=None):
     from gfxexp_tpu.scene.compile import compile_scene
 
     builder = demo_scene(args, kind, params, shell_contents=shell_contents)
-    scene, bvh = compile_scene(builder)
+    scene, bvh = compile_scene(builder, traversal="widerow")
     camera = common.make_camera_from_args(args)
     cfg = PTConfig(max_path_length=args.max_path_length,
                    enable_jitter=not args.no_jitter)
