@@ -20,6 +20,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
+from flax import struct as _fstruct
 
 
 class DiscreteDistribution1D(NamedTuple):
@@ -224,14 +225,15 @@ def continuous_2d_pdf(dist: Continuous2D, u, v):
 # ---------------------------------------------------------------------------
 
 
-class ProbabilityTexture(NamedTuple):
+class ProbabilityTexture(_fstruct.PyTreeNode):
     """Power-of-two 2D weight image + its sum-mip pyramid, sampled by quad
-    descent. levels[l] is [S>>l, S>>l] stored padded in one [L, S, S] array."""
+    descent. levels[l] is [S>>l, S>>l] stored padded in one [L, S, S] array.
+    size/n_levels are STATIC (they steer Python loops under jit)."""
 
     levels: jnp.ndarray  # [L, S, S]
     integral: jnp.ndarray  # []
-    size: int
-    n_levels: int
+    size: int = _fstruct.field(pytree_node=False)
+    n_levels: int = _fstruct.field(pytree_node=False)
 
 
 def build_probability_texture(weights) -> ProbabilityTexture:
@@ -258,8 +260,10 @@ def build_probability_texture(weights) -> ProbabilityTexture:
 
 def sample_probability_texture(pt: ProbabilityTexture, u0, u1):
     """Mip descent: at each level pick one of the 4 children proportionally,
-    re-using the remapped uniforms. Returns (ix, iy, pmf) — texel indices in
-    the finest level and its normalized probability."""
+    re-using the remapped uniforms. Returns (ix, iy, pmf, u0, u1) — texel
+    indices in the finest level, its normalized probability, and the
+    conditionally-remapped uniforms (reusable downstream like the
+    reference's remapped CDF draws)."""
     ix = jnp.zeros(jnp.shape(u0), jnp.int32)
     iy = jnp.zeros(jnp.shape(u0), jnp.int32)
     for level in range(pt.n_levels - 2, -1, -1):
@@ -289,7 +293,7 @@ def sample_probability_texture(pt: ProbabilityTexture, u0, u1):
         ix = x0 + go_right.astype(jnp.int32)
         iy = y0 + go_down.astype(jnp.int32)
     pmf = pt.levels[0, iy, ix] / jnp.maximum(pt.integral, 1e-30)
-    return ix, iy, pmf
+    return ix, iy, pmf, u0, u1
 
 
 def probability_texture_pmf(pt: ProbabilityTexture, ix, iy):

@@ -366,8 +366,12 @@ class SceneBuilder:
             enabled=np.asarray(True),
         )
 
-    def compile(self) -> SceneData:
-        """Flatten instance graph to world-space SoA tables + light CDFs."""
+    def compile(self, use_probability_texture: bool = False) -> SceneData:
+        """Flatten instance graph to world-space SoA tables + light CDFs.
+
+        use_probability_texture additionally builds the hierarchical
+        mip-descent unit selector (reference: USE_PROBABILITY_TEXTURE,
+        common_shared.h:19)."""
         if not self.instances:
             raise ValueError("scene has no instances")
         mats = self.materials or [HostMaterial()]
@@ -465,6 +469,17 @@ class SceneBuilder:
         unit_pmf = unit_importance / total_imp if total_imp > 0 else np.zeros_like(unit_importance)
         unit_cdf = np.concatenate([[0.0], np.cumsum(unit_pmf)])
         _, unit_aprob, unit_aidx, _ = vose_alias_arrays(unit_importance)
+        unit_probtex = None
+        if use_probability_texture:
+            from gfxexp_tpu.core.distributions import build_probability_texture
+
+            n_u = len(unit_importance)
+            side = 1
+            while side * side < n_u:
+                side *= 2
+            grid = np.zeros((side, side), np.float64)
+            grid.flat[:n_u] = unit_importance
+            unit_probtex = build_probability_texture(grid)
 
         n_total_tris = tri_cursor
         units = UnitTable(
@@ -513,6 +528,7 @@ class SceneBuilder:
             light_unit_pmf=np.asarray(unit_pmf, np.float32),
             light_unit_alias_prob=np.asarray(unit_aprob, np.float32),
             light_unit_alias_idx=np.asarray(unit_aidx, np.int32),
+            light_unit_probtex=unit_probtex,
             total_emissive_importance=np.float32(total_imp),
             env=env,
             object_triangles=object_triangles,

@@ -53,7 +53,7 @@ def apply_triangle_permutation(scene: SceneData, perm: np.ndarray) -> SceneData:
 
 def compile_scene(
     builder: SceneBuilder, arity: int = 4, max_leaf: int = 4,
-    traversal: str = "skip",
+    traversal: str = "skip", use_probability_texture: bool = False,
 ):
     """traversal="skip" (default) produces the stackless SkipBVH;
     traversal="widerow" produces the packed row table for the ordered-stack
@@ -63,7 +63,8 @@ def compile_scene(
         # two-level BLAS/instance mode (GAS/IAS analogue): the builder
         # produces object-space shared tables + the InstancedAccel directly
         return builder.compile_instanced(arity=arity, max_leaf=max_leaf)
-    scene = builder.compile()
+    scene = builder.compile(
+        use_probability_texture=use_probability_texture)
     if traversal == "widerow":
         from gfxexp_tpu.accel.pallas_widestack import build_widerow
 

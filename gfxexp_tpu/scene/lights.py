@@ -87,12 +87,43 @@ def _alias_pick(prob, alias, idx_base, n, u):
     return local, jnp.clip(u_re, 0.0, 1.0 - 1e-7)
 
 
-def _select_emissive_triangle(scene: SceneData, u_sel):
+def _select_emissive_triangle(scene: SceneData, u_sel, u_aux=None):
     """Two-level emissive selection (unit, then triangle within the unit).
-    Uses the O(1) alias tables when present (host-compiled scenes), else the
-    CDF binary-search path (device-rebuilt light distributions —
-    scene/animation.py). Returns (unit, tri, unit_pmf, tri_pmf)."""
+    Unit selection uses, in order of preference: the hierarchical
+    probability texture (mip quad-descent — reference:
+    USE_PROBABILITY_TEXTURE, common_shared.h:19,406) when built, the O(1)
+    alias tables (host-compiled scenes), else the CDF binary-search path
+    (device-rebuilt light distributions — scene/animation.py).
+
+    Returns (unit, tri, unit_pmf, tri_pmf, u_aux_out): the probability
+    texture consumes a second uniform (u_aux) for its 2D descent and hands
+    back the conditionally-remapped value; other paths return it
+    untouched."""
     units = scene.units
+    u_aux_out = u_aux
+    if scene.light_unit_probtex is not None and u_aux is not None:
+        from gfxexp_tpu.core.distributions import sample_probability_texture
+
+        pt = scene.light_unit_probtex
+        ix, iy, upmf, u_re, u_aux_out = sample_probability_texture(
+            pt, u_sel, u_aux)
+        unit = jnp.clip(iy * pt.size + ix, 0, scene.num_units - 1)
+        unit_pmf = scene.light_unit_pmf[unit]
+        offset = units.tri_offset[unit]
+        count = units.tri_count[unit]
+        if units.light_tri_alias_prob is not None:
+            local, _ = _alias_pick(units.light_tri_alias_prob,
+                                   units.light_tri_alias_local, offset,
+                                   count, u_re)
+        else:
+            local = _segment_searchsorted(units.light_tri_cdf, offset,
+                                          count, u_re)
+        tri = units.light_tri_index[offset + local]
+        if scene.is_instanced:
+            tri_pmf = units.light_tri_pmf[offset + local]
+        else:
+            tri_pmf = units.light_tri_pmf[tri]
+        return unit, tri, unit_pmf, tri_pmf, u_aux_out
     if scene.light_unit_alias_prob is not None:
         nu = jnp.asarray(scene.num_units, jnp.int32)
         unit, u_re = _alias_pick(
@@ -126,7 +157,7 @@ def _select_emissive_triangle(scene: SceneData, u_sel):
         tri_pmf = units.light_tri_pmf[offset + local]
     else:
         tri_pmf = units.light_tri_pmf[tri]
-    return unit, tri, unit_pmf, tri_pmf
+    return unit, tri, unit_pmf, tri_pmf, u_aux_out
 
 
 def env_dir_from_uv(env, u, v):
@@ -190,7 +221,8 @@ def sample_surface_light(scene: SceneData, u_sel, u0, u1) -> LightSample:
     the unit's CDF, position via the square->triangle map."""
     tris = scene.triangles
     units = scene.units
-    unit, tri, unit_pmf, tri_pmf = _select_emissive_triangle(scene, u_sel)
+    unit, tri, unit_pmf, tri_pmf, u0 = _select_emissive_triangle(
+        scene, u_sel, u0)
 
     b_a, b_b = _square_to_triangle(u0, u1)
     p0 = tris.p0[tri]
@@ -247,7 +279,8 @@ def sample_surface_light_solid_angle(scene: SceneData, shading_point,
     measure so it composes with the rest of the light machinery)."""
     tris = scene.triangles
     units = scene.units
-    unit, tri, unit_pmf, tri_pmf = _select_emissive_triangle(scene, u_sel)
+    unit, tri, unit_pmf, tri_pmf, u0 = _select_emissive_triangle(
+        scene, u_sel, u0)
     light_prob = unit_pmf * tri_pmf
 
     p_a = tris.p0[tri]

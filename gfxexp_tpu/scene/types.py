@@ -177,6 +177,11 @@ class SceneData:
     # UnitTable alias note); None after device-side light rebuilds
     light_unit_alias_prob: Optional[jnp.ndarray] = None
     light_unit_alias_idx: Optional[jnp.ndarray] = None
+    # hierarchical mip-descent alternative for unit selection (reference:
+    # USE_PROBABILITY_TEXTURE, common_shared.h:19 + ProbabilityTexture:406);
+    # built when compile_scene(use_probability_texture=True). Units are laid
+    # row-major into the S x S texel grid.
+    light_unit_probtex: Optional[object] = None
     # ---- two-level (instanced) mode (compile_scene(traversal="instanced"),
     # the TPU analogue of the reference's GAS/IAS split, common_host.h:1027).
     # When set: `triangles` holds OBJECT-space BLAS triangles shared by all

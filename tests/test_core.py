@@ -142,7 +142,7 @@ def test_probability_texture_sampling():
     i = jnp.arange(80000, dtype=jnp.uint32)
     u0 = rng.bits_to_unit_float(rng.pcg3d(i, 0, 0)[0])
     u1 = rng.bits_to_unit_float(rng.pcg3d(i, 1, 0)[0])
-    ix, iy, pmf = dist.sample_probability_texture(ptex, u0, u1)
+    ix, iy, pmf, _, _ = dist.sample_probability_texture(ptex, u0, u1)
     ix, iy = np.asarray(ix), np.asarray(iy)
     for (y, x, expect) in ((1, 2, 0.5), (6, 5, 0.125), (3, 3, 0.375)):
         frac = ((iy == y) & (ix == x)).mean()

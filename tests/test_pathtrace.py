@@ -161,3 +161,29 @@ def test_instanced_scene_matches_flattened():
             render_sample(scene_i, acc_i, cam, 32, 32, jnp.uint32(s), cfg))
     assert np.allclose(accf / 4, acci / 4, atol=1e-4), np.abs(
         accf / 4 - acci / 4).max()
+
+
+def test_probability_texture_light_sampling():
+    """USE_PROBABILITY_TEXTURE analogue: mip quad-descent unit selection
+    must produce the same image mean as the alias-table default
+    (reference: common_shared.h:19 + ProbabilityTexture:406)."""
+    import numpy as np
+
+    from scenes import quad_light_scene
+
+    def render(use_pt):
+        scene, bvh = compile_scene(quad_light_scene(),
+                                   use_probability_texture=use_pt)
+        cam = make_camera([0, 0.6, 2.2], fov_y=np.deg2rad(60), aspect=1.0,
+                          target=[0, 0.2, 0.0])
+        cfg = PTConfig(max_path_length=3)
+        acc = np.zeros((32 * 32, 3), np.float64)
+        for s in range(24):
+            acc += np.asarray(
+                render_sample(scene, bvh, cam, 32, 32, jnp.uint32(s), cfg))
+        return acc / 24
+
+    base = render(False)
+    pt = render(True)
+    rel = abs(pt.mean() - base.mean()) / base.mean()
+    assert rel < 0.05, (pt.mean(), base.mean())
