@@ -46,8 +46,16 @@ def build_bench_scene(big: bool = False):
     cache_file = os.path.join(
         _CACHE, "bench_scene_big_v6.pkl" if big else "bench_scene_v6.pkl")
     if os.path.exists(cache_file):
-        with open(cache_file, "rb") as f:
-            return pickle.load(f)  # numpy pytrees; main() moves them on-device
+        try:
+            with open(cache_file, "rb") as f:
+                pair = pickle.load(f)  # numpy pytrees; moved on-device later
+            # smoke the unpickled schema (field additions can silently skew
+            # old pickles); any failure falls through to a clean rebuild
+            _ = pair[0].num_triangles, pair[0].is_instanced
+            return pair
+        except Exception as e:  # stale schema — rebuild
+            sys.stderr.write(f"bench: scene cache invalid ({e}); rebuilding\n")
+            os.remove(cache_file)
 
     b = SceneBuilder()
     floor = b.add_lambert_material((0.8, 0.8, 0.8))
