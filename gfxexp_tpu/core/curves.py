@@ -128,3 +128,90 @@ def tessellate_curve(curve_type: str, control_points: np.ndarray,
             idx.append([v01, v10, v11])
     return (_np.asarray(verts, _np.float32), _np.asarray(norms, _np.float32),
             _np.asarray(idx, _np.int32))
+
+
+# ---------------------------------------------------------------------------
+# direct swept-sphere intersection — linear segments
+# (reference: OptiX's built-in round-linear curve primitive, enabled by
+#  createLinearSegmentsGeometryInstance, common_host.cpp:1999; evaluators
+#  curve_evaluator.h. Higher-order bases still render via tessellation —
+#  tessellate_curve — matching capability at lower exactness.)
+# ---------------------------------------------------------------------------
+
+
+def intersect_round_linear(p0, r0, p1, r1, o, d, t_min=1e-4, t_max=1e30):
+    """Exact closest hit of rays against one round linear segment (a cone-
+    sphere / 'rounded cone': the convex hull of spheres (p0, r0), (p1, r1)).
+
+    Vectorized over rays; segment endpoints broadcast ([3]/[R,3]). Returns
+    (hit, t, normal [R,3], s in [0,1] along the segment). The lateral
+    surface solves the quadratic of the swept-sphere offset cone; endpoint
+    caps are sphere intersections clipped to their cap regions."""
+    import jax.numpy as jnp
+
+    p0 = jnp.asarray(p0, jnp.float32)
+    p1 = jnp.asarray(p1, jnp.float32)
+    axis = p1 - p0
+    ll = jnp.maximum(jnp.sum(axis * axis, -1), 1e-20)
+    l = jnp.sqrt(ll)
+    az = axis / l[..., None] if axis.ndim > 1 else axis / l
+    dr = (r1 - r0) / l  # radius slope along the axis
+
+    oc = o - p0
+    # decompose into axial/perpendicular components
+    od_a = jnp.sum(d * az, -1)
+    oc_a = jnp.sum(oc * az, -1)
+    # lateral surface: |x_perp(t)| = r0 + dr * x_axial(t), squared:
+    # |x - p0|^2 - x_a^2 = (r0 + dr x_a)^2
+    # quadratic A t^2 + B t + C = 0 with
+    dd = jnp.sum(d * d, -1)
+    ocd = jnp.sum(oc * d, -1)
+    occ = jnp.sum(oc * oc, -1)
+    k = 1.0 + dr * dr
+    A = dd - k * od_a * od_a
+    B = 2.0 * (ocd - k * oc_a * od_a - r0 * dr * od_a)
+    C = occ - k * oc_a * oc_a - 2.0 * r0 * dr * oc_a - r0 * r0
+    disc = B * B - 4.0 * A * C
+    safe_a = jnp.where(jnp.abs(A) > 1e-12, A, 1.0)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_lat = jnp.where(A > 0, (-B - sq) / (2 * safe_a),
+                      (-B + sq) / (2 * safe_a))
+    x_a = oc_a + t_lat * od_a  # axial coordinate of the lateral hit
+    # the lateral surface is valid between the cap tangent points
+    lo_a = -r0 * dr
+    hi_a = l - r1 * dr
+    lat_ok = ((disc >= 0.0) & (jnp.abs(A) > 1e-12)
+              & (t_lat > t_min) & (t_lat < t_max)
+              & (x_a >= lo_a) & (x_a <= hi_a))
+
+    def sphere_hit(center, radius):
+        co = o - center
+        b = jnp.sum(co * d, -1)
+        c = jnp.sum(co * co, -1) - radius * radius
+        disc_s = b * b - dd * c
+        sqs = jnp.sqrt(jnp.maximum(disc_s, 0.0))
+        ts = (-b - sqs) / jnp.maximum(dd, 1e-20)
+        return (disc_s >= 0.0) & (ts > t_min) & (ts < t_max), ts
+
+    ok0, t0 = sphere_hit(p0, r0)
+    x0_a = oc_a + t0 * od_a
+    ok0 = ok0 & (x0_a < lo_a)
+    ok1, t1 = sphere_hit(p1, r1)
+    x1_a = oc_a + t1 * od_a
+    ok1 = ok1 & (x1_a > hi_a)
+
+    t_best = jnp.where(lat_ok, t_lat, jnp.inf)
+    t_best = jnp.where(ok0 & (t0 < t_best), t0, t_best)
+    t_best = jnp.where(ok1 & (t1 < t_best), t1, t_best)
+    hit = jnp.isfinite(t_best)
+
+    x = o + t_best[..., None] * d
+    xa = jnp.sum((x - p0) * az, -1)
+    s = jnp.clip(xa / l, 0.0, 1.0)
+    # normal: gradient of the swept distance field — offset from the axis
+    # point shifted by the radius slope
+    closest = p0 + (xa - dr * (r0 + dr * xa))[..., None] * az
+    n = x - closest
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    t_out = jnp.where(hit, t_best, t_max)
+    return hit, t_out, n, s

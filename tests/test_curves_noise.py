@@ -93,3 +93,37 @@ def test_perlin_properties(rng_np):
     assert np.allclose(np.asarray(perlin3d(p)), n)
     m = np.asarray(multi_octave_perlin3d(p, num_octaves=4))
     assert np.isfinite(m).all() and abs(m.mean()) < 0.05
+
+
+def test_round_linear_direct_intersection():
+    """Direct swept-sphere (round linear) intersection vs analytic cases
+    (reference: OptiX round-linear curve primitive; we previously only
+    tessellated)."""
+    import jax.numpy as jnp
+
+    from gfxexp_tpu.core.curves import intersect_round_linear
+
+    p0 = np.array([0.0, 0.0, 0.0])
+    p1 = np.array([2.0, 0.0, 0.0])
+    # uniform radius: a capsule of radius 0.5
+    o = jnp.asarray([[1.0, 0.0, 3.0],    # hits the side at z=0.5
+                     [-0.4, 0.0, 3.0],   # hits the start cap sphere
+                     [1.0, 2.0, 3.0],    # passes 2.0 off-axis: miss
+                     [-1.0, 0.0, 3.0]])  # passes 1.0 from p0: miss
+    d = jnp.asarray([[0.0, 0.0, -1.0]] * 4)
+    hit, t, n, s = intersect_round_linear(p0, 0.5, p1, 0.5, o, d)
+    assert bool(hit[0]) and bool(hit[1])
+    assert not bool(hit[2]) and not bool(hit[3])
+    assert abs(float(t[0]) - 2.5) < 1e-4
+    assert np.allclose(np.asarray(n[0]), [0, 0, 1], atol=1e-4)
+    # cap: sphere around p0, chord at offset 0.4 -> z = sqrt(0.25 - 0.16)
+    assert abs(float(t[1]) - (3.0 - np.sqrt(0.09))) < 1e-4
+    assert float(s[1]) == 0.0
+
+    # cone case: different radii — hit point radius interpolates
+    hit2, t2, n2, s2 = intersect_round_linear(
+        p0, 0.2, p1, 0.6,
+        jnp.asarray([[1.0, 0.0, 3.0]]), jnp.asarray([[0.0, 0.0, -1.0]]))
+    assert bool(hit2[0])
+    r_mid = 0.2 + (0.6 - 0.2) * float(s2[0])
+    assert abs((3.0 - float(t2[0])) - r_mid) < 0.02
