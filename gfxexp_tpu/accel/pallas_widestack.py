@@ -133,6 +133,11 @@ def _pack_one(bvh: BVH, p0, e1, e2, tri_offset: int = 0):
         tab[:n_int, 7 * k + 3:7 * k + 6] = child_max[:, k]
         tab[:n_int, 7 * k + 6] = meta[:, k].view(np.float32)
     if n_leaf:
+        # leaf rows pack global ids as first | count << _COUNT_SHIFT: ids
+        # must fit 24 bits or they corrupt silently at huge scene sizes
+        assert int(leaf_first.max(initial=0)) + tri_offset < (1 << _COUNT_SHIFT), (
+            "global triangle id exceeds the 24-bit leaf packing "
+            f"({int(leaf_first.max(initial=0)) + tri_offset} >= {1 << _COUNT_SHIFT})")
         n_tris = p0.shape[0]
         for j in range(max_leaf):
             ti = np.minimum(leaf_first + j, n_tris - 1)
@@ -193,9 +198,14 @@ def build_widerow(p0, e1, e2, arity: int = 4, max_leaf: int = 4,
     if est_rows <= max_rows:
         bvh, perm = build_bvh(p0, e1, e2, arity=arity, max_leaf=max_leaf)
         tab = _pack_one(bvh, p0[perm], e1[perm], e2[perm])
-        return WideRowBVH(
-            nodes=jnp.asarray(tab[None]), arity=arity, width=64,
-            max_leaf=max_leaf, max_depth=int(bvh.max_depth)), perm
+        # the estimate is a heuristic: a poorly-filled build (many 1-tri
+        # leaves) can exceed it — verify the ACTUAL packed size and fall
+        # through to the chunked path instead of blowing the VMEM budget
+        if tab.shape[0] <= max_rows:
+            return WideRowBVH(
+                nodes=jnp.asarray(tab[None]), arity=arity, width=64,
+                max_leaf=max_leaf, max_depth=int(bvh.max_depth)), perm
+        est_rows = tab.shape[0]
 
     # ---- chunked: Morton-order spatial partition ----
     c0 = p0 + (e1 + e2) / 3.0  # centroids
@@ -215,22 +225,34 @@ def build_widerow(p0, e1, e2, arity: int = 4, max_leaf: int = 4,
 
     tris_per_chunk = max(int(n * max_rows / est_rows), max_leaf)
     n_chunks = -(-n // tris_per_chunk)
+    # ordered worklist of [start, end) ranges over `order`; a chunk whose
+    # ACTUAL packed table exceeds max_rows is split in half and retried
+    # (the estimate-only sizing could silently exceed the VMEM budget)
+    work = [(c * tris_per_chunk, min((c + 1) * tris_per_chunk, n))
+            for c in range(n_chunks)]
+    work.reverse()  # pop() processes ranges in ascending order
     tabs, perms = [], []
     max_depth = 1
-    start = 0
-    for c in range(n_chunks):
-        end = min(start + tris_per_chunk, n)
+    tri_offset = 0
+    while work:
+        start, end = work.pop()
         sel = order[start:end]
         bvh, lperm = build_bvh(p0[sel], e1[sel], e2[sel], arity=arity,
                                max_leaf=max_leaf)
         gsel = sel[lperm]
-        tabs.append(_pack_one(bvh, p0[gsel], e1[gsel], e2[gsel],
-                              tri_offset=start))
+        tab = _pack_one(bvh, p0[gsel], e1[gsel], e2[gsel],
+                        tri_offset=tri_offset)
+        if tab.shape[0] > max_rows and end - start > max_leaf:
+            mid = (start + end) // 2
+            work.append((mid, end))
+            work.append((start, mid))
+            continue
+        tabs.append(tab)
         perms.append(gsel)
         max_depth = max(max_depth, int(bvh.max_depth))
-        start = end
+        tri_offset += end - start
     r_max = max(t.shape[0] for t in tabs)
-    stacked = np.zeros((n_chunks, r_max, 64), np.float32)
+    stacked = np.zeros((len(tabs), r_max, 64), np.float32)
     for c, t in enumerate(tabs):
         stacked[c, :t.shape[0]] = t
         # padding rows: leaf-tagged with count 0 (unreachable anyway)

@@ -201,17 +201,22 @@ def intersect_round_linear(p0, r0, p1, r1, o, d, t_min=1e-4, t_max=1e30):
     ok1 = ok1 & (x1_a > hi_a)
 
     t_best = jnp.where(lat_ok, t_lat, jnp.inf)
-    t_best = jnp.where(ok0 & (t0 < t_best), t0, t_best)
-    t_best = jnp.where(ok1 & (t1 < t_best), t1, t_best)
+    take0 = ok0 & (t0 < t_best)
+    t_best = jnp.where(take0, t0, t_best)
+    take1 = ok1 & (t1 < t_best)
+    t_best = jnp.where(take1, t1, t_best)
     hit = jnp.isfinite(t_best)
 
     x = o + t_best[..., None] * d
     xa = jnp.sum((x - p0) * az, -1)
     s = jnp.clip(xa / l, 0.0, 1.0)
-    # normal: gradient of the swept distance field — offset from the axis
-    # point shifted by the radius slope
-    closest = p0 + (xa - dr * (r0 + dr * xa))[..., None] * az
+    # lateral normal: gradient of F = |x_perp|^2 - (r0 + dr*xa)^2, i.e.
+    # x_perp - dr*(r0 + dr*xa)*az  =  x - (p0 + (xa + dr*(r0 + dr*xa))*az)
+    closest = p0 + (xa + dr * (r0 + dr * xa))[..., None] * az
     n = x - closest
+    # endpoint caps are sphere surfaces: normal = (x - center) / r
+    n = jnp.where(take1[..., None], x - p1, n)
+    n = jnp.where(take0[..., None], x - p0, n)
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
     t_out = jnp.where(hit, t_best, t_max)
     return hit, t_out, n, s

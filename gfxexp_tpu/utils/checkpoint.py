@@ -40,6 +40,15 @@ def load_checkpoint(path: str, like: Optional[Any] = None) -> Any:
     import jax
     import jax.numpy as jnp
 
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic == b"\x80\x04" or magic == b"\x80\x05":
+        raise ValueError(
+            f"{path} is a legacy pickle checkpoint (format predates the "
+            "npz+JSON hardening); re-save it with the new format — load it "
+            "once in a trusted session via pickle.load and call "
+            "save_checkpoint on the result."
+        )
     with np.load(path, allow_pickle=False) as data:
         manifest = json.loads(bytes(data[_MANIFEST_KEY]).decode())
         n = manifest["n"]

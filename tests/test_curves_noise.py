@@ -119,6 +119,8 @@ def test_round_linear_direct_intersection():
     # cap: sphere around p0, chord at offset 0.4 -> z = sqrt(0.25 - 0.16)
     assert abs(float(t[1]) - (3.0 - np.sqrt(0.09))) < 1e-4
     assert float(s[1]) == 0.0
+    # cap normal is the SPHERE normal (x - p0)/r0, not a radial one
+    assert np.allclose(np.asarray(n[1]), [-0.8, 0.0, 0.6], atol=1e-4)
 
     # cone case: different radii — hit point radius interpolates
     hit2, t2, n2, s2 = intersect_round_linear(
@@ -127,3 +129,21 @@ def test_round_linear_direct_intersection():
     assert bool(hit2[0])
     r_mid = 0.2 + (0.6 - 0.2) * float(s2[0])
     assert abs((3.0 - float(t2[0])) - r_mid) < 0.02
+    # cone normal from the gradient of F = |x_perp|^2 - (r0 + dr*xa)^2: a
+    # widening cone tilts the normal BACKWARD along the axis (-x here)
+    dr = (0.6 - 0.2) / 2.0
+    x_hit = np.array([1.0, 0.0, 3.0]) + float(t2[0]) * np.array([0, 0, -1.0])
+    xa = x_hit[0]
+    expect = x_hit - np.array([xa + dr * (0.2 + dr * xa), 0.0, 0.0])
+    expect /= np.linalg.norm(expect)
+    assert expect[0] < -0.1  # backward tilt
+    assert np.allclose(np.asarray(n2[0]), expect, atol=1e-4)
+    # finite-difference check of the implicit surface gradient
+    def F(x):
+        xa = x[0]
+        return x[1] ** 2 + x[2] ** 2 - (0.2 + dr * xa) ** 2
+    eps = 1e-4
+    g = np.array([(F(x_hit + eps * e) - F(x_hit - eps * e)) / (2 * eps)
+                  for e in np.eye(3)])
+    g /= np.linalg.norm(g)
+    assert np.allclose(np.asarray(n2[0]), g, atol=1e-3)
