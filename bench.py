@@ -44,7 +44,7 @@ def build_bench_scene(big: bool = False):
     from gfxexp_tpu.scene.loaders import load_obj
 
     cache_file = os.path.join(
-        _CACHE, "bench_scene_big_v6.pkl" if big else "bench_scene_v6.pkl")
+        _CACHE, "bench_scene_big_v7.pkl" if big else "bench_scene_v7.pkl")
     if os.path.exists(cache_file):
         try:
             with open(cache_file, "rb") as f:

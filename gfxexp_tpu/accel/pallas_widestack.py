@@ -91,6 +91,11 @@ class WideRowBVH:
     width: int = struct.field(pytree_node=False, default=64)
     max_leaf: int = struct.field(pytree_node=False, default=4)
     max_depth: int = struct.field(pytree_node=False, default=32)
+    # per-chunk world AABBs for tile-level culling (the TLAS analogue —
+    # reference: InstanceBVH_T, common_shared.h:1059). None on single-chunk
+    # tables and legacy caches (culling skipped).
+    chunk_lo: jnp.ndarray = None  # [C, 3]
+    chunk_hi: jnp.ndarray = None  # [C, 3]
 
     @property
     def num_chunks(self):
@@ -232,6 +237,7 @@ def build_widerow(p0, e1, e2, arity: int = 4, max_leaf: int = 4,
             for c in range(n_chunks)]
     work.reverse()  # pop() processes ranges in ascending order
     tabs, perms = [], []
+    chunk_lo, chunk_hi = [], []
     max_depth = 1
     tri_offset = 0
     while work:
@@ -249,6 +255,10 @@ def build_widerow(p0, e1, e2, arity: int = 4, max_leaf: int = 4,
             continue
         tabs.append(tab)
         perms.append(gsel)
+        # chunk world AABB (for per-tile culling)
+        q0, q1, q2 = p0[gsel], p0[gsel] + e1[gsel], p0[gsel] + e2[gsel]
+        chunk_lo.append(np.minimum(np.minimum(q0, q1), q2).min(axis=0))
+        chunk_hi.append(np.maximum(np.maximum(q0, q1), q2).max(axis=0))
         max_depth = max(max_depth, int(bvh.max_depth))
         tri_offset += end - start
     r_max = max(t.shape[0] for t in tabs)
@@ -260,16 +270,22 @@ def build_widerow(p0, e1, e2, arity: int = 4, max_leaf: int = 4,
     perm = np.concatenate(perms)
     return WideRowBVH(
         nodes=jnp.asarray(stacked), arity=arity, width=64,
-        max_leaf=max_leaf, max_depth=max_depth), perm
+        max_leaf=max_leaf, max_depth=max_depth,
+        chunk_lo=jnp.asarray(np.stack(chunk_lo), jnp.float32),
+        chunk_hi=jnp.asarray(np.stack(chunk_hi), jnp.float32)), perm
 
 
 def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
                  stack_depth: int, any_hit: bool, rows: int,
-                 instanced: bool = False):
+                 instanced: bool = False, culled: bool = False,
+                 n_chunks: int = 0):
     net = _NET4 if arity <= 4 else _NET8
     K = arity
 
     def kernel(*refs):
+        work = cnt = None
+        if culled:
+            (work, cnt), refs = refs[:2], refs[2:]
         if instanced:
             (blas_ids, transforms, nodes, rays,
              out_t, out_tri, out_u, out_v, out_it, out_inst) = refs
@@ -285,6 +301,16 @@ def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
         tmin = comp(6)
         tmax = comp(7)
 
+        # with culling, the chunk/instance this step traverses comes from
+        # the per-tile worklist (scalar prefetch); steps past the tile's
+        # live count are no-ops revisiting the resident node block
+        if culled:
+            chunk_id = work[pl.program_id(0) * n_chunks + pl.program_id(1)]
+            step_valid = pl.program_id(1) < cnt[pl.program_id(0)]
+        else:
+            chunk_id = pl.program_id(1)
+            step_valid = True
+
         if instanced:
             # world ray -> this instance's object space. The direction is
             # NOT renormalized, so the ray parameter t is preserved across
@@ -292,7 +318,7 @@ def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
             # across instances (reference: OptiX does the same transform
             # into GAS space for IAS traversal). Transforms live in SMEM
             # (scalar prefetch): 12 scalar reads, broadcast into the VPU.
-            tbase = pl.program_id(1) * 16
+            tbase = chunk_id * 16
             m = [transforms[tbase + j] for j in range(12)]
             ox2 = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
             oy2 = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
@@ -315,10 +341,12 @@ def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
         # chunk's hits. First chunk initializes from the rays. In instanced
         # mode a chunk IS an instance (sorted by BLAS so consecutive
         # instances reuse the resident node table without a new DMA).
-        chunk = pl.program_id(1)
-        first_chunk = chunk == 0
+        first_chunk = pl.program_id(1) == 0
+        # invalid (padding) steps start every row at -1: the while loop
+        # exits immediately and the carried best-hit state passes through
+        cur0 = jnp.where(step_valid, 0, -1) if culled else 0
         init = (
-            jnp.zeros((rows, 1), jnp.int32),  # cur node row (-1 = done)
+            jnp.full((rows, 1), 0, jnp.int32) + cur0,  # cur row (-1 = done)
             jnp.zeros((rows, 1), jnp.int32),  # sp
             jnp.full((rows, stack_depth), -1, jnp.int32),  # stack
             jnp.where(first_chunk, tmax, out_t[0]),
@@ -464,7 +492,7 @@ def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
                     best_u = jnp.where(ok, u, best_u)
                     best_v = jnp.where(ok, v, best_v)
                     if instanced:
-                        best_inst = jnp.where(ok, chunk, best_inst)
+                        best_inst = jnp.where(ok, chunk_id, best_inst)
                 return best_t, best_tri, best_u, best_v, best_inst
 
             if _USE_PHASE_CONDS:
@@ -503,17 +531,57 @@ def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
     return kernel
 
 
+def _cull_worklists(lo, hi, rays, g, rows):
+    """Per-tile chunk culling: slab-test every ray against every chunk AABB,
+    reduce to a [tiles, C] mask, and compact it into ascending worklists.
+    The TPU analogue of the reference's instance AS (common_shared.h:1059
+    InstanceBVH_T): a tile only traverses chunks some ray of it can enter.
+
+    rays: [g, 8, tile] packed components. Returns (work [g*C] i32 flat,
+    cnt [g] i32); entries past cnt repeat the last live chunk so the
+    Pallas index map revisits the resident block (no DMA, no work)."""
+    n_chunks = lo.shape[0]
+    o = rays[:, 0:3]  # [g, 3, tile]
+    d = rays[:, 3:6]
+    tmin = rays[:, 6]  # [g, tile]
+    tmax = rays[:, 7]
+
+    def safe_inv(v):
+        tiny = jnp.where(v < 0, -1e-12, 1e-12)
+        return 1.0 / jnp.where(jnp.abs(v) < 1e-12, tiny, v)
+
+    inv = safe_inv(d)
+    masks = []
+    for c in range(n_chunks):
+        t0 = (lo[c][None, :, None] - o) * inv  # [g, 3, tile]
+        t1 = (hi[c][None, :, None] - o) * inv
+        near = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=1), tmin)
+        far = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=1), tmax)
+        masks.append(jnp.any(near <= far, axis=1))  # [g]
+    mask = jnp.stack(masks, axis=1)  # [g, C]
+    cnt = jnp.sum(mask, axis=1).astype(jnp.int32)
+    # live chunks first, ascending (stable sort of the inverted mask);
+    # ascending order preserves the BLAS-sorted layout in instanced mode
+    order = jnp.argsort(~mask, axis=1, stable=True).astype(jnp.int32)
+    last = jnp.take_along_axis(
+        order, jnp.maximum(cnt - 1, 0)[:, None], axis=1)
+    iota = jnp.arange(n_chunks, dtype=jnp.int32)[None]
+    work = jnp.where(iota < cnt[:, None], order, last)
+    return work.reshape(-1), cnt
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_rows_tab", "arity", "width", "max_leaf",
                      "stack_depth", "any_hit", "rows"))
 def _run(nodes, rays, n_rows_tab, arity, width, max_leaf,
-         stack_depth, any_hit, rows):
+         stack_depth, any_hit, rows, chunk_lo=None, chunk_hi=None):
     g = rays.shape[0]
     n_chunks = nodes.shape[0]
     tile = rows * _LANE
+    culled = chunk_lo is not None and n_chunks > 1
     kernel = _make_kernel(n_rows_tab, arity, width, max_leaf, stack_depth,
-                          any_hit, rows)
+                          any_hit, rows, culled=culled, n_chunks=n_chunks)
     out_shape = [
         jax.ShapeDtypeStruct((g, rows, _LANE), jnp.float32),
         jax.ShapeDtypeStruct((g, rows, _LANE), jnp.int32),
@@ -524,6 +592,31 @@ def _run(nodes, rays, n_rows_tab, arity, width, max_leaf,
     # chunk dim inner: out blocks for tile i are revisited across
     # consecutive c steps (the Pallas accumulation pattern); each chunk's
     # node table is DMA'd HBM->VMEM for its steps
+    if culled:
+        work, cnt = _cull_worklists(chunk_lo, chunk_hi, rays, g, rows)
+        out_block = pl.BlockSpec((1, rows, _LANE),
+                                 lambda i, c, w, n: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # work, cnt
+            grid=(g, n_chunks),
+            in_specs=[
+                # node table selected by the tile's worklist; padding steps
+                # repeat the previous index -> block revisited, no DMA
+                pl.BlockSpec((1, n_rows_tab, width),
+                             lambda i, c, w, n: (w[i * n_chunks + c], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, tile), lambda i, c, w, n: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[out_block] * 5,
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid_spec=grid_spec,
+            interpret=jax.default_backend() != "tpu",
+        )(work, cnt, nodes, rays)
     out_block = pl.BlockSpec((1, rows, _LANE), lambda i, c: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     grid_spec = pl.GridSpec(
@@ -582,6 +675,8 @@ def _traverse_widestack(bvh: WideRowBVH, tris: TriangleSoA, o, d, t_min,
         n_rows_tab=nodes.shape[1], arity=arity, width=width,
         max_leaf=bvh.max_leaf, stack_depth=stack_depth, any_hit=any_hit,
         rows=rows,
+        chunk_lo=getattr(bvh, "chunk_lo", None),
+        chunk_hi=getattr(bvh, "chunk_hi", None),
     )
     flat = lambda x: x.reshape(n_pad)[:n_rays]
     best_tri = flat(best_tri)
@@ -638,6 +733,10 @@ class InstancedAccel:
     width: int = struct.field(pytree_node=False, default=64)
     max_leaf: int = struct.field(pytree_node=False, default=4)
     max_depth: int = struct.field(pytree_node=False, default=32)
+    # per-instance WORLD AABBs for tile-level culling (TLAS analogue —
+    # reference: InstanceBVH_T, common_shared.h:1059); None on legacy caches
+    chunk_lo: jnp.ndarray = None  # [C, 3]
+    chunk_hi: jnp.ndarray = None  # [C, 3]
 
     @property
     def num_instances(self):
@@ -658,6 +757,7 @@ def build_instanced(blas_geoms, instances, arity: int = 4,
     from gfxexp_tpu.accel.bvh_build import build_bvh
 
     tabs, perms, offsets = [], [], []
+    blas_lo, blas_hi = [], []
     off = 0
     max_depth = 1
     for (p0, e1, e2) in blas_geoms:
@@ -671,6 +771,9 @@ def build_instanced(blas_geoms, instances, arity: int = 4,
         offsets.append(off)
         off += p0.shape[0]
         max_depth = max(max_depth, int(bvh.max_depth))
+        q1, q2 = p0 + e1, p0 + e2
+        blas_lo.append(np.minimum(np.minimum(p0, q1), q2).min(axis=0))
+        blas_hi.append(np.maximum(np.maximum(p0, q1), q2).max(axis=0))
     r_max = max(t.shape[0] for t in tabs)
     stacked = np.zeros((len(tabs), r_max, 64), np.float32)
     for b, t in enumerate(tabs):
@@ -680,18 +783,29 @@ def build_instanced(blas_geoms, instances, arity: int = 4,
     order = np.argsort([b for b, _ in instances], kind="stable")
     blas_ids = np.asarray([instances[i][0] for i in order], np.int32)
     inv = np.zeros((len(instances), 16), np.float32)
+    chunk_lo = np.zeros((len(instances), 3), np.float32)
+    chunk_hi = np.zeros((len(instances), 3), np.float32)
     for j, i in enumerate(order):
         m = np.asarray(instances[i][1], np.float64).reshape(3, 4)
         r_inv = np.linalg.inv(m[:, :3])
         t_inv = -r_inv @ m[:, 3]
         inv[j, 0:12] = np.concatenate(
             [np.concatenate([r_inv[k], [t_inv[k]]]) for k in range(3)])
+        # world AABB of the instanced BLAS (affine AABB transform)
+        b = instances[i][0]
+        c = 0.5 * (blas_lo[b] + blas_hi[b])
+        e = 0.5 * (blas_hi[b] - blas_lo[b])
+        wc = m[:, :3] @ c + m[:, 3]
+        we = np.abs(m[:, :3]) @ e
+        chunk_lo[j] = wc - we
+        chunk_hi[j] = wc + we
     return InstancedAccel(
         nodes=jnp.asarray(stacked),
         blas_ids=jnp.asarray(blas_ids),
         inv_transforms=jnp.asarray(inv),
         inst_of_chunk=jnp.asarray(order.astype(np.int32)),
         arity=arity, width=64, max_leaf=max_leaf, max_depth=max_depth,
+        chunk_lo=jnp.asarray(chunk_lo), chunk_hi=jnp.asarray(chunk_hi),
     ), perms
 
 
@@ -700,12 +814,15 @@ def build_instanced(blas_geoms, instances, arity: int = 4,
     static_argnames=("n_rows_tab", "arity", "width", "max_leaf",
                      "stack_depth", "any_hit", "rows"))
 def _run_instanced(nodes, blas_ids, transforms, rays, n_rows_tab, arity,
-                   width, max_leaf, stack_depth, any_hit, rows):
+                   width, max_leaf, stack_depth, any_hit, rows,
+                   chunk_lo=None, chunk_hi=None):
     g = rays.shape[0]
     n_inst = blas_ids.shape[0]
     tile = rows * _LANE
+    culled = chunk_lo is not None and n_inst > 1
     kernel = _make_kernel(n_rows_tab, arity, width, max_leaf, stack_depth,
-                          any_hit, rows, instanced=True)
+                          any_hit, rows, instanced=True, culled=culled,
+                          n_chunks=n_inst)
     out_shape = [
         jax.ShapeDtypeStruct((g, rows, _LANE), jnp.float32),
         jax.ShapeDtypeStruct((g, rows, _LANE), jnp.int32),
@@ -714,6 +831,33 @@ def _run_instanced(nodes, blas_ids, transforms, rays, n_rows_tab, arity,
         jax.ShapeDtypeStruct((g, rows, _LANE), jnp.int32),  # iterations
         jax.ShapeDtypeStruct((g, rows, _LANE), jnp.int32),  # instance
     ]
+    if culled:
+        # per-tile instance worklists (ascending = still BLAS-sorted, so
+        # consecutive live instances of one BLAS revisit the resident table)
+        work, cnt = _cull_worklists(chunk_lo, chunk_hi, rays, g, rows)
+        out_block = pl.BlockSpec((1, rows, _LANE),
+                                 lambda i, c, w, n, b, tf: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,  # work, cnt, blas_ids, transforms
+            grid=(g, n_inst),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, n_rows_tab, width),
+                    lambda i, c, w, n, b, tf: (b[w[i * n_inst + c]], 0, 0),
+                    memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, tile),
+                             lambda i, c, w, n, b, tf: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[out_block] * 6,
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid_spec=grid_spec,
+            interpret=jax.default_backend() != "tpu",
+        )(work, cnt, blas_ids, transforms.reshape(-1), nodes, rays)
     out_block = pl.BlockSpec((1, rows, _LANE), lambda i, c, b, tf: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -771,6 +915,8 @@ def _traverse_instanced(acc: InstancedAccel, o, d, t_min, t_max,
         n_rows_tab=acc.nodes.shape[1], arity=acc.arity, width=acc.width,
         max_leaf=acc.max_leaf, stack_depth=stack_depth, any_hit=any_hit,
         rows=rows,
+        chunk_lo=getattr(acc, "chunk_lo", None),
+        chunk_hi=getattr(acc, "chunk_hi", None),
     )
     flat = lambda x: x.reshape(n_pad)[:n_rays]
     best_tri = flat(best_tri)

@@ -105,27 +105,26 @@ class SampleStream:
         self._sample = _u32(sample)
         self._stream = _u32(stream)
         self._dim = 0
+        # one pcg4d evaluation yields FOUR decorrelated u32 streams; buffer
+        # all of them so consecutive draws cost 1/4 of a hash each (a hash
+        # is ~24 u32 vector ops per lane — measurable at 262k lanes)
+        self._buf = []
+
+    def _next_raw(self):
+        if not self._buf:
+            self._buf = list(pcg4d(self._lane, self._sample, self._stream,
+                                   U32(self._dim)))
+            self._dim += 1
+        return self._buf.pop(0)
 
     def next(self):
-        a, _, _, _ = pcg4d(self._lane, self._sample, self._stream, U32(self._dim))
-        self._dim += 1
-        return bits_to_unit_float(a)
+        return bits_to_unit_float(self._next_raw())
 
     def next2(self):
-        a, b, _, _ = pcg4d(self._lane, self._sample, self._stream, U32(self._dim))
-        self._dim += 1
-        return bits_to_unit_float(a), bits_to_unit_float(b)
+        return self.next(), self.next()
 
     def next3(self):
-        a, b, c, _ = pcg4d(self._lane, self._sample, self._stream, U32(self._dim))
-        self._dim += 1
-        return (
-            bits_to_unit_float(a),
-            bits_to_unit_float(b),
-            bits_to_unit_float(c),
-        )
+        return self.next(), self.next(), self.next()
 
     def next_bits(self):
-        a, _, _, _ = pcg4d(self._lane, self._sample, self._stream, U32(self._dim))
-        self._dim += 1
-        return a
+        return self._next_raw()

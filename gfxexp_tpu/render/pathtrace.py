@@ -51,6 +51,7 @@ from gfxexp_tpu.scene.lights import (
     env_pdf,
     env_radiance,
     light_selection_probs,
+    pack_light_rows,
     sample_light,
     surface_light_pdf,
 )
@@ -115,13 +116,42 @@ class SurfacePoint:
     emittance: jnp.ndarray  # [R, 3]
 
 
+def pack_tri_attrs(tris, scene: SceneData = None) -> jnp.ndarray:
+    """Concatenate the per-triangle shading attributes into one [T, 26] row
+    table so compute_surface_point costs ONE row gather instead of ten
+    scattered [T,3]/[T,2] gathers (measured 5.0 -> 1.7 ms per 262k lanes on
+    v5e). Col 24 is the bitcast unit id; col 25 (when `scene` is given and
+    non-instanced) is the hypothetical NEE area pdf of the triangle
+    (unit_pmf * tri_pmf / area) for one-gather implicit-hit MIS
+    (reference: computeHypotheticalAreaPDensity). Built inside jit from the
+    traced scene arrays — a 16k x 26 concat is negligible and the caller
+    hoists it once per frame (render_lanes)."""
+    cols = [
+        tris.p0, tris.e1, tris.e2, tris.n0, tris.n1, tris.n2,
+        tris.uv0, tris.uv1, tris.uv2,
+        jax.lax.bitcast_convert_type(tris.unit_id, jnp.float32)[:, None],
+    ]
+    if scene is not None and not scene.is_instanced:
+        cr_len = jnp.linalg.norm(jnp.cross(tris.e1, tris.e2), axis=-1)
+        rec_area = 2.0 / jnp.maximum(cr_len, 1e-20)
+        pdf = (scene.light_unit_pmf[tris.unit_id]
+               * scene.units.light_tri_pmf * rec_area)
+        cols.append(pdf[:, None])
+    else:
+        cols.append(jnp.zeros((tris.p0.shape[0], 1), jnp.float32))
+    return jnp.concatenate(cols, axis=1)
+
+
 def compute_surface_point(scene: SceneData, tri_idx, u, v,
-                          inst=None) -> SurfacePoint:
+                          inst=None, packed=None) -> SurfacePoint:
     tris = scene.triangles
     tri_idx = jnp.maximum(tri_idx, 0)  # missed lanes gather slot 0 (masked out later)
-    p0 = tris.p0[tri_idx]
-    e1 = tris.e1[tri_idx]
-    e2 = tris.e2[tri_idx]
+    if packed is None:
+        packed = pack_tri_attrs(tris)
+    rows = packed[tri_idx]  # [R, 25] one gather for all attributes
+    p0 = rows[:, 0:3]
+    e1 = rows[:, 3:6]
+    e2 = rows[:, 6:9]
     if scene.is_instanced:
         # triangles are OBJECT space; bring geometry into world space via
         # the hit instance (reference: CH programs read the OptiX
@@ -137,9 +167,9 @@ def compute_surface_point(scene: SceneData, tri_idx, u, v,
     gn = normalize(jnp.cross(e1, e2))
     w = 1.0 - u - v
     sn = (
-        w[..., None] * tris.n0[tri_idx]
-        + u[..., None] * tris.n1[tri_idx]
-        + v[..., None] * tris.n2[tri_idx]
+        w[..., None] * rows[:, 9:12]
+        + u[..., None] * rows[:, 12:15]
+        + v[..., None] * rows[:, 15:18]
     )
     if scene.is_instanced:
         # normals transform by the inverse-transpose rotation
@@ -147,9 +177,9 @@ def compute_surface_point(scene: SceneData, tri_idx, u, v,
         sn = jnp.einsum("nji,nj->ni", ninv, sn,
                         precision=jax.lax.Precision.HIGHEST)
     sn = normalize(sn)
-    uv0 = tris.uv0[tri_idx]
-    uv1 = tris.uv1[tri_idx]
-    uv2 = tris.uv2[tri_idx]
+    uv0 = rows[:, 18:20]
+    uv1 = rows[:, 20:22]
+    uv2 = rows[:, 22:24]
     tc = w[..., None] * uv0 + u[..., None] * uv1 + v[..., None] * uv2
     # texcoord-0 direction (reference: texCoord0DirInWorld) from uv edges
     duv1 = uv1 - uv0
@@ -160,10 +190,11 @@ def compute_surface_point(scene: SceneData, tri_idx, u, v,
     fallback, _ = make_frame(sn)
     tan = jnp.where(degenerate[..., None], fallback, tan)
     tan = normalize(tan - jnp.sum(tan * sn, axis=-1, keepdims=True) * sn)
+    unit_id = jax.lax.bitcast_convert_type(rows[:, 24], jnp.int32)
     if scene.is_instanced:
-        unit = scene.inst_unit_base[insti] + tris.unit_id[tri_idx]
+        unit = scene.inst_unit_base[insti] + unit_id
     else:
-        unit = tris.unit_id[tri_idx]
+        unit = unit_id
     mat = scene.units.material[unit]
     emit = scene.materials.emittance[mat]
     if scene.textures is not None and getattr(scene.textures, "count", 0) > 0:
@@ -268,7 +299,7 @@ def _intersect_closest_sorted(bvh, tris, ray_o, ray_d, alive):
 
 
 def _next_event(scene, bvh, sp: SurfacePoint, v_out_local, frame, params, rs,
-                cfg: PTConfig, alive=None):
+                cfg: PTConfig, alive=None, light_packed=None):
     """NEE with MIS (reference: performNextEventEstimation,
     optix_pathtracing_kernels.cu:18-48 + performDirectLighting,
     path_tracing_shared.h:419-457). Returns [R, 3] contribution. `alive`
@@ -282,7 +313,7 @@ def _next_event(scene, bvh, sp: SurfacePoint, v_out_local, frame, params, rs,
 
         ls = sample_light_solid_angle(scene, sp.position, u_light, u0, u1)
     else:
-        ls = sample_light(scene, u_light, u0, u1)
+        ls = sample_light(scene, u_light, u0, u1, packed=light_packed)
 
     shadow_vec = jnp.where(
         ls.at_infinity[..., None], ls.position, ls.position - sp.position
@@ -395,6 +426,10 @@ def render_lanes(
 
     use_env = cfg.enable_env and scene.env is not None
     p_env_sel, p_surf_sel = light_selection_probs(scene)
+    # hoisted packed tables: one row gather per lane instead of ~12 scattered
+    # gathers (scan-constant across bounces)
+    tri_packed = pack_tri_attrs(scene.triangles, scene)
+    light_packed = pack_light_rows(scene) if cfg.use_explicit_light_sampling else None
 
     # Bounce loop structure: peel the first bounce (MIS weights are 1 there),
     # lax.scan the uniform middle bounces, peel the last (collect-only — no
@@ -457,7 +492,7 @@ def render_lanes(
             )
 
         sp = compute_surface_point(scene, hit.tri, hit.u, hit.v,
-                                   inst=hit.inst)
+                                   inst=hit.inst, packed=tri_packed)
         if disp is not None:
             # overlay displaced-surface attributes (reference: the custom-IS
             # CH program fills the same hit-point params)
@@ -516,8 +551,13 @@ def render_lanes(
                 mis_w = jnp.ones((n,), jnp.float32)
             else:
                 dist2 = jnp.maximum(hit.t**2, 1e-12)
-                hyp_area = surface_light_pdf(scene, jnp.maximum(hit.tri, 0),
-                                             inst=hit.inst)
+                if scene.is_instanced:
+                    hyp_area = surface_light_pdf(
+                        scene, jnp.maximum(hit.tri, 0), inst=hit.inst)
+                else:
+                    # baked pdf column: the row gather is shared (CSE) with
+                    # compute_surface_point's gather of the same indices
+                    hyp_area = tri_packed[jnp.maximum(hit.tri, 0)][:, 25]
                 light_p = (
                     p_surf_sel
                     * hyp_area
@@ -565,7 +605,8 @@ def render_lanes(
                                       nee_aux)
             else:
                 nee = _next_event(scene, bvh, sp_off, v_out_local, (t, b, nrm),
-                                  params, rs, cfg, alive)
+                                  params, rs, cfg, alive,
+                                  light_packed=light_packed)
             contribution = contribution + jnp.where(
                 (alive & ~dbg_no_nee)[..., None], throughput * nee, 0.0
             )

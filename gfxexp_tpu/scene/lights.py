@@ -87,7 +87,7 @@ def _alias_pick(prob, alias, idx_base, n, u):
     return local, jnp.clip(u_re, 0.0, 1.0 - 1e-7)
 
 
-def _select_emissive_triangle(scene: SceneData, u_sel, u_aux=None):
+def _select_light_pos(scene: SceneData, u_sel, u_aux=None):
     """Two-level emissive selection (unit, then triangle within the unit).
     Unit selection uses, in order of preference: the hierarchical
     probability texture (mip quad-descent — reference:
@@ -95,10 +95,10 @@ def _select_emissive_triangle(scene: SceneData, u_sel, u_aux=None):
     alias tables (host-compiled scenes), else the CDF binary-search path
     (device-rebuilt light distributions — scene/animation.py).
 
-    Returns (unit, tri, unit_pmf, tri_pmf, u_aux_out): the probability
-    texture consumes a second uniform (u_aux) for its 2D descent and hands
-    back the conditionally-remapped value; other paths return it
-    untouched."""
+    Returns (unit, light_pos, u_aux_out): light_pos is the LIGHT-ORDER
+    position (tri_offset[unit] + local pick). The probability texture
+    consumes a second uniform (u_aux) for its 2D descent and hands back the
+    conditionally-remapped value; other paths return it untouched."""
     units = scene.units
     u_aux_out = u_aux
     if scene.light_unit_probtex is not None and u_aux is not None:
@@ -108,23 +108,7 @@ def _select_emissive_triangle(scene: SceneData, u_sel, u_aux=None):
         ix, iy, upmf, u_re, u_aux_out = sample_probability_texture(
             pt, u_sel, u_aux)
         unit = jnp.clip(iy * pt.size + ix, 0, scene.num_units - 1)
-        unit_pmf = scene.light_unit_pmf[unit]
-        offset = units.tri_offset[unit]
-        count = units.tri_count[unit]
-        if units.light_tri_alias_prob is not None:
-            local, _ = _alias_pick(units.light_tri_alias_prob,
-                                   units.light_tri_alias_local, offset,
-                                   count, u_re)
-        else:
-            local = _segment_searchsorted(units.light_tri_cdf, offset,
-                                          count, u_re)
-        tri = units.light_tri_index[offset + local]
-        if scene.is_instanced:
-            tri_pmf = units.light_tri_pmf[offset + local]
-        else:
-            tri_pmf = units.light_tri_pmf[tri]
-        return unit, tri, unit_pmf, tri_pmf, u_aux_out
-    if scene.light_unit_alias_prob is not None:
+    elif scene.light_unit_alias_prob is not None:
         nu = jnp.asarray(scene.num_units, jnp.int32)
         unit, u_re = _alias_pick(
             scene.light_unit_alias_prob, scene.light_unit_alias_idx,
@@ -140,7 +124,6 @@ def _select_emissive_triangle(scene: SceneData, u_sel, u_aux=None):
             jnp.where(width > 0,
                       (u_sel - lo) / jnp.where(width > 0, width, 1.0), 0.0),
             0.0, 1.0 - 1e-7)
-    unit_pmf = scene.light_unit_pmf[unit]
     offset = units.tri_offset[unit]
     count = units.tri_count[unit]
     if units.light_tri_alias_prob is not None:
@@ -150,14 +133,69 @@ def _select_emissive_triangle(scene: SceneData, u_sel, u_aux=None):
     else:
         local = _segment_searchsorted(units.light_tri_cdf, offset, count,
                                       u_re)
-    tri = units.light_tri_index[offset + local]
+    return unit, offset + local, u_aux_out
+
+
+def _select_emissive_triangle(scene: SceneData, u_sel, u_aux=None):
+    """_select_light_pos resolved to a traversal triangle id + pmfs.
+    Returns (unit, tri, unit_pmf, tri_pmf, u_aux_out)."""
+    units = scene.units
+    unit, light_pos, u_aux_out = _select_light_pos(scene, u_sel, u_aux)
+    unit_pmf = scene.light_unit_pmf[unit]
+    tri = units.light_tri_index[light_pos]
     if scene.is_instanced:
         # pmf is stored in LIGHT order for instanced scenes (a blas tri id
         # is shared by many units)
-        tri_pmf = units.light_tri_pmf[offset + local]
+        tri_pmf = units.light_tri_pmf[light_pos]
     else:
         tri_pmf = units.light_tri_pmf[tri]
     return unit, tri, unit_pmf, tri_pmf, u_aux_out
+
+
+def pack_light_rows(scene: SceneData) -> jnp.ndarray:
+    """[T, 22] WORLD-space emissive-triangle rows in LIGHT order so a
+    surface-light sample costs ONE row gather after selection instead of
+    ~10 scattered gathers (measured 11 -> ~3 ms per 262k lanes on v5e).
+
+    Row: p0(0:3) e1(3:6) e2(6:9) n0(9:12) n1(12:15) n2(15:18)
+    pdf = unit_pmf*tri_pmf/area (18) emittance(19:22).
+
+    Built from the traced scene arrays (a [T]-sized gather pass, negligible
+    next to the [lanes]-sized sampling it accelerates), so it stays valid
+    under device-side light rebuilds and animated transforms; callers hoist
+    it once per frame (render_lanes)."""
+    units = scene.units
+    tris = scene.triangles
+    t = units.light_tri_index.shape[0]
+    j = jnp.arange(t, dtype=jnp.int32)
+    # owning unit of each light position: segments are [tri_offset, +count)
+    unit = jnp.clip(
+        jnp.searchsorted(units.tri_offset, j, side="right") - 1,
+        0, scene.num_units - 1)
+    tri = units.light_tri_index[j]
+    p0, e1, e2 = tris.p0[tri], tris.e1[tri], tris.e2[tri]
+    n0, n1, n2 = tris.n0[tri], tris.n1[tri], tris.n2[tri]
+    tri_pmf = units.light_tri_pmf[j if scene.is_instanced else tri]
+    if scene.is_instanced:
+        insti = units.instance[unit]
+        m = scene.instances.transform[insti]
+        rot = m[:, :, :3]
+        hi = jax.lax.Precision.HIGHEST
+        p0 = jnp.einsum("nij,nj->ni", rot, p0, precision=hi) + m[:, :, 3]
+        e1 = jnp.einsum("nij,nj->ni", rot, e1, precision=hi)
+        e2 = jnp.einsum("nij,nj->ni", rot, e2, precision=hi)
+        ninv = scene.instances.inv_transform[insti][:, :, :3]
+        n0 = jnp.einsum("nji,nj->ni", ninv, n0, precision=hi)
+        n1 = jnp.einsum("nji,nj->ni", ninv, n1, precision=hi)
+        n2 = jnp.einsum("nji,nj->ni", ninv, n2, precision=hi)
+    unit_pmf = scene.light_unit_pmf[unit]
+    cr = jnp.cross(e1, e2)
+    cr_len = jnp.linalg.norm(cr, axis=-1)
+    rec_area = 2.0 / jnp.maximum(cr_len, 1e-20)
+    pdf = jnp.where(cr_len > 0, unit_pmf * tri_pmf * rec_area, 0.0)
+    emit = scene.materials.emittance[units.material[unit]]
+    return jnp.concatenate(
+        [p0, e1, e2, n0, n1, n2, pdf[:, None], emit], axis=1)
 
 
 def env_dir_from_uv(env, u, v):
@@ -216,9 +254,32 @@ def env_pdf(env, d):
     return uv_pdf / (2.0 * _PI * _PI * sin_t)
 
 
-def sample_surface_light(scene: SceneData, u_sel, u0, u1) -> LightSample:
+def sample_surface_light(scene: SceneData, u_sel, u0, u1,
+                         packed=None) -> LightSample:
     """Hierarchical emissive-surface sample: unit via scene CDF, triangle via
-    the unit's CDF, position via the square->triangle map."""
+    the unit's CDF, position via the square->triangle map. `packed` is the
+    hoisted pack_light_rows table: when given, everything after selection is
+    one row gather."""
+    if packed is not None:
+        unit, light_pos, u0 = _select_light_pos(scene, u_sel, u0)
+        row = packed[light_pos]  # [R, 22]
+        b_a, b_b = _square_to_triangle(u0, u1)
+        b_c = 1.0 - b_a - b_b
+        position = (row[:, 0:3] + b_b[..., None] * row[:, 3:6]
+                    + b_c[..., None] * row[:, 6:9])
+        normal = (b_a[..., None] * row[:, 9:12]
+                  + b_b[..., None] * row[:, 12:15]
+                  + b_c[..., None] * row[:, 15:18])
+        normal = normal / jnp.maximum(
+            jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-20)
+        pdf = row[:, 18]
+        return LightSample(
+            position=position,
+            normal=normal,
+            emittance=row[:, 19:22],
+            pdf=pdf,
+            at_infinity=jnp.zeros(pdf.shape, bool),
+        )
     tris = scene.triangles
     units = scene.units
     unit, tri, unit_pmf, tri_pmf, u0 = _select_emissive_triangle(
@@ -399,16 +460,17 @@ def sample_env_light(scene: SceneData, u0, u1) -> LightSample:
     )
 
 
-def sample_light(scene: SceneData, u_light, u0, u1) -> LightSample:
+def sample_light(scene: SceneData, u_light, u0, u1, packed=None) -> LightSample:
     """Full light sample mixing env and surface lights with the reference's
     fixed 0.25 env probability (when both exist). u_light selects the family
     and is remapped into the chosen branch (reference:
     performNextEventEstimation, optix_pathtracing_kernels.cu:24-42). The
-    returned pdf includes the selection probability."""
+    returned pdf includes the selection probability. `packed` is a hoisted
+    pack_light_rows table (optional fast path)."""
     surface_ok = scene.total_emissive_importance > 0.0
 
     if scene.env is None:
-        surf = sample_surface_light(scene, u_light, u0, u1)
+        surf = sample_surface_light(scene, u_light, u0, u1, packed=packed)
         pdf = jnp.where(surface_ok, surf.pdf, 0.0)
         return surf.replace(pdf=pdf)
 
@@ -419,7 +481,7 @@ def sample_light(scene: SceneData, u_light, u0, u1) -> LightSample:
     u_surf = jnp.clip(
         (u_light - p_env) / jnp.maximum(1.0 - p_env, 1e-8), 0.0, 1.0 - 1e-7
     )
-    surf = sample_surface_light(scene, u_surf, u0, u1)
+    surf = sample_surface_light(scene, u_surf, u0, u1, packed=packed)
     envs = sample_env_light(scene, u0, u1)
 
     def sel(e, s):
