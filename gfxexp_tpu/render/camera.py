@@ -49,11 +49,40 @@ def blocked_order(width: int, height: int) -> bool:
     return width % BLOCK_W == 0 and height % BLOCK_H == 0
 
 
+def _morton_blocks(width: int, height: int) -> bool:
+    """Z-curve block ordering applies on square power-of-two block grids."""
+    bx = width // BLOCK_W
+    by = height // BLOCK_H
+    return bx == by and bx > 1 and (bx & (bx - 1)) == 0
+
+
+def _part1by1(x):
+    x = x & 0xFFFF
+    x = (x | (x << 8)) & 0x00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333
+    x = (x | (x << 1)) & 0x55555555
+    return x
+
+
+def _compact1by1(x):
+    x = x & 0x55555555
+    x = (x | (x >> 1)) & 0x33333333
+    x = (x | (x >> 2)) & 0x0F0F0F0F
+    x = (x | (x >> 4)) & 0x00FF00FF
+    x = (x | (x >> 8)) & 0x0000FFFF
+    return x
+
+
 def pixel_from_lane(lane, width: int, height: int):
     """Lane (render order) -> linear pixel index. Lanes are block-major
-    (16x16 screen blocks) so consecutive lanes form coherent ray tiles for
-    the tile-shared traverser (accel/tiled.py); falls back to row-major when
-    the image isn't block-divisible."""
+    (16x16 screen blocks) with the BLOCKS ordered along a Morton Z-curve
+    (square pow2 grids), so a traversal tile (32 consecutive blocks at
+    rows=64) covers a compact ~128x64-pixel region instead of a full-width
+    strip — the tile frustum that per-tile chunk/instance culling tests is
+    ~4x tighter. RNG and camera rays stay keyed by the PIXEL, so the image
+    is invariant to this ordering. Falls back to row-major blocks on
+    non-square grids, and to raw row-major when not block-divisible."""
     if not blocked_order(width, height):
         return lane
     lane = lane.astype(jnp.int32)
@@ -61,8 +90,12 @@ def pixel_from_lane(lane, width: int, height: int):
     blocks_x = width // BLOCK_W
     block = lane // per_block
     within = lane % per_block
-    bx = block % blocks_x
-    by = block // blocks_x
+    if _morton_blocks(width, height):
+        bx = _compact1by1(block)
+        by = _compact1by1(block >> 1)
+    else:
+        bx = block % blocks_x
+        by = block // blocks_x
     px = bx * BLOCK_W + within % BLOCK_W
     py = by * BLOCK_H + within // BLOCK_W
     return (py * width + px).astype(jnp.uint32)
@@ -76,7 +109,10 @@ def lane_from_pixel(pixel, width: int, height: int):
     px = pixel % width
     py = pixel // width
     blocks_x = width // BLOCK_W
-    block = (py // BLOCK_H) * blocks_x + px // BLOCK_W
+    if _morton_blocks(width, height):
+        block = _part1by1(px // BLOCK_W) | (_part1by1(py // BLOCK_H) << 1)
+    else:
+        block = (py // BLOCK_H) * blocks_x + px // BLOCK_W
     within = (py % BLOCK_H) * BLOCK_W + px % BLOCK_W
     return (block * (BLOCK_W * BLOCK_H) + within).astype(jnp.uint32)
 

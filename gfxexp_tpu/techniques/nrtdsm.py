@@ -397,13 +397,14 @@ def intersect_nrtdsm(geom: NRTDSMGeometry, o, d, t_min=1e-4, t_max=1e30,
 def intersect_nrtdsm_v2(geom: NRTDSMGeometry, o, d, t_min=1e-4, t_max=1e30,
                         k_candidates: int = 4, n_steps: int = 48,
                         n_refine: int = 8) -> NRTDSMHit:
-    """Vectorized nonlinear-shell intersection: per-ray candidate prisms
-    from the shared broad phase (techniques.tfdm._broad_phase), then the
+    """Vectorized nonlinear-shell intersection: candidate prisms stream
+    nearest-first until the next prism AABB is farther than the best hit
+    (techniques.tfdm.iterate_candidates — no silent top-k cap), then the
     exact height-cubic march over GATHERED prism attributes — trace size no
     longer scales with the base-mesh size (VERDICT r1 weak #11). The cubic
     solve per sample is the reference's nonlinear mapping
     (nrtdsm_intersection_kernels.h findHeight)."""
-    from gfxexp_tpu.techniques.tfdm import _broad_phase
+    from gfxexp_tpu.techniques.tfdm import iterate_candidates
 
     n_rays = o.shape[0]
     corners = jnp.stack([
@@ -413,22 +414,23 @@ def intersect_nrtdsm_v2(geom: NRTDSMGeometry, o, d, t_min=1e-4, t_max=1e30,
     ], axis=1)  # [B, 6, 3]
     lo = jnp.min(corners, axis=1) - 1e-5
     hi = jnp.max(corners, axis=1) + 1e-5
-    ids, nears, fars = _broad_phase(lo, hi, o, d, t_min, t_max, k_candidates)
 
     t_min_v = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_rays,))
-    best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_rays,))
-    best_prim = jnp.full((n_rays,), -1, jnp.int32)
-    best_uv = jnp.zeros((n_rays, 2), jnp.float32)
-    best_nrm = jnp.zeros((n_rays, 3), jnp.float32)
-    steps_total = jnp.zeros((n_rays,), jnp.int32)
     h_lo_v = jnp.full((n_rays,), geom.h_lo)
     h_hi_v = jnp.full((n_rays,), geom.h_hi)
+    state0 = (
+        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_rays,)),
+        jnp.full((n_rays,), -1, jnp.int32),       # best_prim
+        jnp.zeros((n_rays, 2), jnp.float32),      # best_uv
+        jnp.zeros((n_rays, 3), jnp.float32),      # best_nrm
+        jnp.zeros((n_rays,), jnp.int32),          # steps_total
+    )
 
-    for k in range(k_candidates):
-        b = jnp.maximum(ids[:, k], 0)
-        near = nears[:, k]
-        far = jnp.minimum(fars[:, k], best_t)
-        active = (ids[:, k] >= 0) & (near < far)
+    def process(state, cid, near, far):
+        best_t, best_prim, best_uv, best_nrm, steps_total = state
+        b = jnp.maximum(cid, 0)
+        far = jnp.minimum(far, best_t)
+        active = (cid >= 0) & (near < far)
 
         p_a, p_b, p_c = geom.p0[b], geom.p1[b], geom.p2[b]
         n_a, n_b, n_c = geom.n0[b], geom.n1[b], geom.n2[b]
@@ -497,10 +499,15 @@ def intersect_nrtdsm_v2(geom: NRTDSMGeometry, o, d, t_min=1e-4, t_max=1e30,
         nrm = nrm * jnp.sign(
             jnp.sum(nrm * nsh, axis=-1, keepdims=True) + 1e-12)
 
-        best_prim = jnp.where(take, ids[:, k], best_prim)
+        best_prim = jnp.where(take, cid, best_prim)
         best_uv = jnp.where(take[:, None], uv_hit, best_uv)
         best_nrm = jnp.where(take[:, None], nrm, best_nrm)
         best_t = jnp.where(take, t_hit, best_t)
+        return (best_t, best_prim, best_uv, best_nrm, steps_total)
+
+    best_t, best_prim, best_uv, best_nrm, steps_total = iterate_candidates(
+        lo, hi, o, d, t_min, t_max, k_candidates, state0, process,
+        lambda st: st[0])
 
     return NRTDSMHit(
         t=best_t, hit=best_prim >= 0,

@@ -137,11 +137,13 @@ class ShellHit:
 
 def intersect_shell(geom: ShellGeometry, o, d, t_min=1e-4, t_max=1e30,
                     k_candidates: int = 2, n_segments: int = 16) -> ShellHit:
-    """Closest shell-content hit. Broad phase over prism AABBs, then per
+    """Closest shell-content hit. Candidate prisms stream nearest-first
+    until the next prism AABB is farther than the best hit
+    (techniques.tfdm.iterate_candidates — no silent top-k cap), then per
     candidate the texture-space curve is traced as n_segments linear
     segments against the shell BVH."""
     from gfxexp_tpu.accel.traverse import intersect_closest
-    from gfxexp_tpu.techniques.tfdm import _broad_phase
+    from gfxexp_tpu.techniques.tfdm import iterate_candidates
 
     n_rays = o.shape[0]
     corners = jnp.stack([
@@ -151,23 +153,24 @@ def intersect_shell(geom: ShellGeometry, o, d, t_min=1e-4, t_max=1e30,
     ], axis=1)
     lo = jnp.min(corners, axis=1) - 1e-5
     hi = jnp.max(corners, axis=1) + 1e-5
-    ids, nears, fars = _broad_phase(lo, hi, o, d, t_min, t_max, k_candidates)
 
     p = geom.params
     t_min_v = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_rays,))
-    best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_rays,))
-    best_prim = jnp.full((n_rays,), -1, jnp.int32)
-    best_uv = jnp.zeros((n_rays, 2), jnp.float32)
-    best_nrm = jnp.zeros((n_rays, 3), jnp.float32)
-    best_mat = jnp.full((n_rays,), geom.material, jnp.int32)
-    steps_total = jnp.zeros((n_rays,), jnp.int32)
     h_span = max(geom.h_hi - geom.h_lo, 1e-9)
+    state0 = (
+        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_rays,)),
+        jnp.full((n_rays,), -1, jnp.int32),       # best_prim
+        jnp.zeros((n_rays, 2), jnp.float32),      # best_uv
+        jnp.zeros((n_rays, 3), jnp.float32),      # best_nrm
+        jnp.full((n_rays,), geom.material, jnp.int32),  # best_mat
+        jnp.zeros((n_rays,), jnp.int32),          # steps_total
+    )
 
-    for k in range(k_candidates):
-        b = jnp.maximum(ids[:, k], 0)
-        near = nears[:, k]
-        far = jnp.minimum(fars[:, k], best_t)
-        active = (ids[:, k] >= 0) & (near < far)
+    def process(state, cid, near, far):
+        best_t, best_prim, best_uv, best_nrm, best_mat, steps_total = state
+        b = jnp.maximum(cid, 0)
+        far = jnp.minimum(far, best_t)
+        active = (cid >= 0) & (near < far)
 
         p_a, p_b, p_c = geom.p0[b], geom.p1[b], geom.p2[b]
         n_a, n_b, n_c = geom.n0[b], geom.n1[b], geom.n2[b]
@@ -265,11 +268,16 @@ def intersect_shell(geom: ShellGeometry, o, d, t_min=1e-4, t_max=1e30,
                               1e-20)
         nw = nw * jnp.sign(-jnp.sum(nw * d, axis=-1, keepdims=True) + 1e-12)
 
-        best_prim = jnp.where(take, ids[:, k], best_prim)
+        best_prim = jnp.where(take, cid, best_prim)
         best_uv = jnp.where(take[:, None], seg_q[:, :2], best_uv)
         best_nrm = jnp.where(take[:, None], nw, best_nrm)
         best_mat = jnp.where(take, geom.shell_mat[tri], best_mat)
         best_t = jnp.where(take, seg_t, best_t)
+        return (best_t, best_prim, best_uv, best_nrm, best_mat, steps_total)
+
+    best_t, best_prim, best_uv, best_nrm, best_mat, steps_total = (
+        iterate_candidates(lo, hi, o, d, t_min, t_max, k_candidates, state0,
+                           process, lambda st: st[0]))
 
     return ShellHit(
         t=best_t, hit=best_prim >= 0,

@@ -33,7 +33,7 @@ from flax import struct
 LOCAL_INTERSECTION_BOX = 0
 LOCAL_INTERSECTION_TWO_TRIANGLE = 1
 LOCAL_INTERSECTION_BILINEAR = 2
-LOCAL_INTERSECTION_BSPLINE = 3  # accepted; evaluated as bilinear (parity gap)
+LOCAL_INTERSECTION_BSPLINE = 3  # bicubic uniform B-spline surface (16 taps)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,21 +71,28 @@ def _height_channel0(height) -> np.ndarray:
     return h
 
 
-def build_minmax_mipmap(height: np.ndarray) -> MinMaxMipmap:
-    """Level 0 holds PATCH bounds: entry (y, x) = min/max over the four
-    (wrapped) samples of bilinear patch [x, x+1] x [y, y+1] — the bilinear
-    surface over a patch interpolates its corner samples, so sample-wise
-    bounds are NOT conservative for it (reference:
-    generateFirstMinMaxMipMap reads all four corners,
+def build_minmax_mipmap(height: np.ndarray,
+                        footprint: int = 2) -> MinMaxMipmap:
+    """Level 0 holds PATCH bounds: entry (y, x) = min/max over the
+    `footprint` x `footprint` (wrapped) samples influencing patch
+    [x, x+1] x [y, y+1] — the bilinear surface over a patch interpolates
+    its 4 corner samples (footprint 2); the bicubic B-spline local type is
+    a convex combination of the 4x4 control neighborhood (footprint 4), so
+    its bounds must cover samples [x-1, x+2] x [y-1, y+2] (reference:
+    generateFirstMinMaxMipMap reads all corners,
     tfdm_preprocess_kernels.cu:62)."""
     h = _height_channel0(height)
     s = h.shape[0]
     assert h.shape == (s, s) and (s & (s - 1)) == 0, "square pow2 heightmap"
-    hx = np.roll(h, -1, axis=1)
-    hy = np.roll(h, -1, axis=0)
-    hxy = np.roll(hx, -1, axis=0)
-    p_min = np.minimum(np.minimum(h, hx), np.minimum(hy, hxy))
-    p_max = np.maximum(np.maximum(h, hx), np.maximum(hy, hxy))
+    first = -1 if footprint == 4 else 0
+    shifts = range(first, first + footprint)
+    p_min = np.full_like(h, np.inf)
+    p_max = np.full_like(h, -np.inf)
+    for dy in shifts:
+        for dx in shifts:
+            hs = np.roll(np.roll(h, -dx, axis=1), -dy, axis=0)
+            p_min = np.minimum(p_min, hs)
+            p_max = np.maximum(p_max, hs)
     levels = [np.stack([p_min, p_max], axis=-1)]
     cur = levels[0]
     while cur.shape[0] > 1:
@@ -151,7 +158,9 @@ def build_tfdm_geometry(positions, indices, uvs, height, params=None,
     uvs = np.asarray(uvs, np.float32)
     if normals is None:
         normals = compute_smooth_normals(positions, indices)
-    mm = build_minmax_mipmap(height)
+    footprint = (4 if params.local_intersection_type
+                 == LOCAL_INTERSECTION_BSPLINE else 2)
+    mm = build_minmax_mipmap(height, footprint=footprint)
     i0, i1, i2 = indices[:, 0], indices[:, 1], indices[:, 2]
     p0, p1, p2 = positions[i0], positions[i1], positions[i2]
     n0, n1, n2 = normals[i0], normals[i1], normals[i2]
@@ -211,7 +220,30 @@ def sample_height(geom: TFDMGeometry, uv):
         h_low = h00 + fx * (h10 - h00) + fy * (h01 - h00)
         h_up = h11 + (1 - fx) * (h01 - h11) + (1 - fy) * (h10 - h11)
         return jnp.where(lower, h_low, h_up)
-    # Bilinear (and BSpline approximated as bilinear)
+    if lit == LOCAL_INTERSECTION_BSPLINE:
+        # bicubic uniform B-spline surface over the 4x4 control
+        # neighborhood (reference: the BSpline branch of
+        # tfdm_intersection_kernels.h; approximating, not interpolating)
+        def w_cubic(f):
+            f2 = f * f
+            f3 = f2 * f
+            return ((1.0 - 3.0 * f + 3.0 * f2 - f3) / 6.0,
+                    (4.0 - 6.0 * f2 + 3.0 * f3) / 6.0,
+                    (1.0 + 3.0 * f + 3.0 * f2 - 3.0 * f3) / 6.0,
+                    f3 / 6.0)
+
+        wx = w_cubic(fx)
+        wy = w_cubic(fy)
+        out = jnp.zeros_like(fx)
+        for j in range(4):
+            yj = (y0 + j - 1) % s
+            row = jnp.zeros_like(fx)
+            for i in range(4):
+                xi = (x0 + i - 1) % s
+                row = row + wx[i] * geom.height[yj, xi]
+            out = out + wy[j] * row
+        return out
+    # Bilinear
     return (h00 * (1 - fx) * (1 - fy) + h10 * fx * (1 - fy)
             + h01 * (1 - fx) * fy + h11 * fx * fy)
 
@@ -449,6 +481,137 @@ def _broad_phase(aabb_min, aabb_max, o, d, t_min, t_max, k: int,
     return unflat(ids), unflat(nr), unflat(fr)
 
 
+def _next_candidate_scan(aabb_min, aabb_max, o, d, t_min, t_cap,
+                         last_near, last_id, ray_chunk: int = 4096,
+                         prism_chunk: int = 2048):
+    """Nearest UNPROCESSED prism-AABB candidate per ray: the entry with the
+    lexicographically smallest (near, id) strictly after (last_near,
+    last_id), subject to near < t_cap. Returns (id, near, far), id = -1
+    when none. One O(B) slab sweep, chunked over rays AND prisms so the
+    intermediates stay bounded at any scene size."""
+    n = o.shape[0]
+    n_b = aabb_min.shape[0]
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                            jnp.where(d < 0, -1e-12, 1e-12), d)
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+
+    n_pad = -(-n // ray_chunk) * ray_chunk
+
+    def padto(x, fill):
+        if x.shape[0] == n_pad:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((n_pad - x.shape[0],) + x.shape[1:], fill, x.dtype)])
+
+    def one_chunk(args):
+        oc, ic, tn, cap, ln, li = args
+        rr = jnp.arange(oc.shape[0])
+        best_near = jnp.full((oc.shape[0],), jnp.inf)
+        best_id = jnp.full((oc.shape[0],), -1, jnp.int32)
+        best_far = jnp.full((oc.shape[0],), -jnp.inf)
+        for start in range(0, n_b, prism_chunk):
+            end = min(start + prism_chunk, n_b)
+            t0 = (aabb_min[start:end][None] - oc[:, None, :]) * ic[:, None, :]
+            t1 = (aabb_max[start:end][None] - oc[:, None, :]) * ic[:, None, :]
+            near = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), tn[:, None])
+            far = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1), cap[:, None])
+            gid = jnp.arange(start, end, dtype=jnp.int32)[None]
+            ok = ((near <= far) & (near < cap[:, None])
+                  & ((near > ln[:, None])
+                     | ((near == ln[:, None]) & (gid > li[:, None]))))
+            key = jnp.where(ok, near, jnp.inf)
+            j = jnp.argmin(key, axis=1)
+            val = key[rr, j]
+            # strict < keeps the smaller id on equal nears (ids ascend
+            # across chunks; argmin picks the first within a chunk)
+            take = jnp.isfinite(val) & (val < best_near)
+            best_near = jnp.where(take, val, best_near)
+            best_id = jnp.where(take, (start + j).astype(jnp.int32), best_id)
+            best_far = jnp.where(take, far[rr, j], best_far)
+        return best_id, best_near, best_far
+
+    oc = padto(o, 0.0).reshape(-1, ray_chunk, 3)
+    ic = padto(inv_d, 1.0).reshape(-1, ray_chunk, 3)
+    tn = padto(t_min, 0.0).reshape(-1, ray_chunk)
+    cap = padto(t_cap, -1.0).reshape(-1, ray_chunk)
+    ln = padto(last_near, jnp.inf).reshape(-1, ray_chunk)
+    li = padto(last_id, 0).reshape(-1, ray_chunk)
+    ids, nr, fr = jax.lax.map(one_chunk, (oc, ic, tn, cap, ln, li))
+    unflat = lambda x: x.reshape(n_pad)[:n]
+    return unflat(ids), unflat(nr), unflat(fr)
+
+
+def iterate_candidates(aabb_min, aabb_max, o, d, t_min, t_max, k,
+                       state0, process_fn, get_best_t, max_extra: int = 32):
+    """Drive a narrow-phase `process_fn` over prism-AABB candidates in
+    near-to-far order UNTIL no unprocessed AABB entry lies closer than the
+    current best hit — no silent top-k cap (reference walks the full GAS;
+    ADVICE r2: grazing rays can enter >k AABBs before the true hit).
+
+    The first `k` candidates come from one prefetched top-k broad phase
+    (`_broad_phase`); rays that exhaust them with closer AABBs still
+    possible fall back to per-round O(B) rescans, gated by lax.cond so the
+    common case never pays them.
+
+    process_fn(state, cand_id [R] (-1 = inactive), near [R], far [R])
+    -> state; get_best_t(state) -> [R]. Exactly ONE instantiation of
+    process_fn is traced (the previous unrolled-k structure instantiated
+    the march k times)."""
+    n = o.shape[0]
+    ids, nears, fars = _broad_phase(aabb_min, aabb_max, o, d, t_min, t_max, k)
+    t_min_v = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+
+    def have_more(idx, state, last_near, exhausted):
+        best_t = get_best_t(state)
+        pref_left = idx < k
+        scan_left = jnp.any(~exhausted & (last_near < best_t))
+        return pref_left | (scan_left & (idx < k + max_extra))
+
+    def body(carry):
+        idx, state, last_near, last_id, exhausted = carry
+        best_t = get_best_t(state)
+
+        def prefetched(_):
+            cid = jax.lax.dynamic_index_in_dim(ids, jnp.minimum(idx, k - 1),
+                                               1, keepdims=False)
+            cnr = jax.lax.dynamic_index_in_dim(nears, jnp.minimum(idx, k - 1),
+                                               1, keepdims=False)
+            cfr = jax.lax.dynamic_index_in_dim(fars, jnp.minimum(idx, k - 1),
+                                               1, keepdims=False)
+            return cid, cnr, cfr
+
+        def scanned(_):
+            need = ~exhausted & (last_near < best_t)
+
+            def do_scan(_):
+                return _next_candidate_scan(
+                    aabb_min, aabb_max, o, d, t_min_v,
+                    jnp.where(need, best_t, -1.0), last_near, last_id)
+
+            def no_scan(_):
+                return (jnp.full((n,), -1, jnp.int32),
+                        jnp.full((n,), jnp.inf),
+                        jnp.full((n,), -jnp.inf))
+
+            return jax.lax.cond(jnp.any(need), do_scan, no_scan, None)
+
+        cid, cnr, cfr = jax.lax.cond(idx < k, prefetched, scanned, None)
+        live = (cid >= 0) & (cnr < best_t)
+        state = process_fn(state, jnp.where(live, cid, -1), cnr, cfr)
+        # a round with no candidate for a ray means none will ever follow
+        exhausted = exhausted | ~live
+        last_near = jnp.where(live, cnr, last_near)
+        last_id = jnp.where(live, cid, last_id)
+        return idx + 1, state, last_near, last_id, exhausted
+
+    carry = (jnp.zeros((), jnp.int32), state0,
+             jnp.full((n,), -jnp.inf), jnp.full((n,), -1, jnp.int32),
+             jnp.zeros((n,), bool))
+    _, state, _, _, _ = jax.lax.while_loop(
+        lambda c: have_more(c[0], c[1], c[2], c[4]), body, carry)
+    return state
+
+
 def _sample_height_at(geom, height, uv):
     """Like sample_height but with an explicit height array (so the same
     code path serves proxies); uv already texture-transformed."""
@@ -463,48 +626,56 @@ def _sample_height_at(geom, height, uv):
 
 def intersect_tfdm_v2(geom: TFDMGeometry, o, d, t_min=1e-4, t_max=1e30,
                       k_candidates: int = 4, max_steps: int = 128,
-                      n_refine: int = 8, coarse_size: int = 16) -> TFDMHit:
+                      n_refine: int = 8, coarse_size: int = 16,
+                      mid_size: int = 64) -> TFDMHit:
     """Mip-guided displaced-surface intersection, vectorized over rays.
 
-    Per ray: broad phase selects the k nearest candidate prisms; for each
-    candidate a while-loop walks the ray with ADAPTIVE steps — at each
-    position the coarse minmax texel (epsilon-widened, displacement-mapped)
-    is tested against the ray's height span over the texel crossing; empty
-    texels are skipped in ONE step (jump to the texel exit), occupied ones
-    advance by fine steps (half a base texel of uv travel) with sign-change
-    detection, then bisection refinement. Per-ray step counts come back as
-    the TraversalStats heatmap. Empty-space skipping + bounded fine steps
-    replace the blind 48-step march (reference: displacedSurface_generic's
-    descend-or-advance loop, tfdm_intersection_kernels.h:171-560; directed
-    rounding replaced by epsilon widening, SURVEY.md §7 phase 5)."""
+    Per ray: candidates stream nearest-first UNTIL the next prism AABB is
+    farther than the best hit (iterate_candidates — no silent top-k cap);
+    for each candidate a while-loop walks the ray with ADAPTIVE steps — at
+    each position the minmax texel (epsilon-widened, displacement-mapped) is
+    tested against the ray's height span over the texel crossing at TWO
+    pyramid levels (coarse then mid, e.g. 16^2 then 64^2); empty texels are
+    skipped in ONE step (jump to the texel exit at the emptiest level),
+    occupied ones advance by fine steps (half a base texel of uv travel)
+    with sign-change detection, then bisection refinement. Per-ray step
+    counts come back as the TraversalStats heatmap (reference:
+    displacedSurface_generic's pyramid descend-or-advance loop,
+    tfdm_intersection_kernels.h:171-560; directed rounding replaced by
+    epsilon widening, SURVEY.md §7 phase 5)."""
     n_rays = o.shape[0]
     s = geom.height.shape[0]
     mm = geom.minmax
-    # coarse level: texel grid of `coarse_size`^2 (or the map itself if
-    # smaller); level l has size s >> l
+    # coarse/mid levels: texel grids of `coarse_size`^2 / `mid_size`^2
+    # (clamped to the map itself); level l has size s >> l
     cs = min(coarse_size, s)
     lc = max(s.bit_length() - cs.bit_length(), 0)
     cs = s >> lc
     coarse = mm.levels[lc, :cs, :cs, :]  # [cs, cs, 2]
+    ms_ = min(max(mid_size, cs), s)
+    lm = max(s.bit_length() - ms_.bit_length(), 0)
+    ms_ = s >> lm
+    mid = mm.levels[lm, :ms_, :ms_, :]  # [ms_, ms_, 2]
+    use_mid = ms_ > cs
     p = geom.params
-    # displacement-mapped conservative interval per coarse texel happens
-    # per-lookup below (h_offset/h_scale/h_bias are scalars)
+    # displacement-mapped conservative interval per texel happens per-lookup
+    # below (h_offset/h_scale/h_bias are scalars)
 
-    ids, nears, fars = _broad_phase(
-        geom.aabb_min, geom.aabb_max, o, d, t_min, t_max, k_candidates)
-
-    best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_rays,))
-    best_prim = jnp.full((n_rays,), -1, jnp.int32)
-    best_uv = jnp.zeros((n_rays, 2), jnp.float32)
-    best_nrm = jnp.zeros((n_rays, 3), jnp.float32)
-    steps_total = jnp.zeros((n_rays,), jnp.int32)
+    best_t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_rays,))
     t_min_v = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_rays,))
+    state0 = (
+        best_t0,
+        jnp.full((n_rays,), -1, jnp.int32),       # best_prim
+        jnp.zeros((n_rays, 2), jnp.float32),      # best_uv
+        jnp.zeros((n_rays, 3), jnp.float32),      # best_nrm
+        jnp.zeros((n_rays,), jnp.int32),          # steps_total
+    )
 
-    for k in range(k_candidates):
-        b = jnp.maximum(ids[:, k], 0)
-        valid = ids[:, k] >= 0
-        near = nears[:, k]
-        far = jnp.minimum(fars[:, k], best_t)
+    def process(state, cid, near, far):
+        best_t, best_prim, best_uv, best_nrm, steps_total = state
+        b = jnp.maximum(cid, 0)
+        valid = cid >= 0
+        far = jnp.minimum(far, best_t)
         active0 = valid & (near < far)
 
         # gather per-ray prism data (hoisted out of the march loop)
@@ -589,25 +760,8 @@ def intersect_tfdm_v2(geom: TFDMGeometry, o, d, t_min=1e-4, t_max=1e30,
              steps) = st
             steps = steps + running.astype(jnp.int32)
             uv, (b1, b2, w, h) = uv_of(t)
-            # coarse PATCH-space texel (level-0 entries are bilinear-patch
-            # bounds; patch x covers sample coords [x, x+1] = uv*s - 0.5)
-            blk = s // cs
-            gx = (uv[:, 0] * s - 0.5) / blk  # continuous patch-grid coord
-            gy = (uv[:, 1] * s - 0.5) / blk
-            xc = jnp.floor(gx).astype(jnp.int32) % cs
-            yc = jnp.floor(gy).astype(jnp.int32) % cs
-            hmn = coarse[yc, xc, 0]
-            hmx = coarse[yc, xc, 1]
-            c0 = p.h_offset + p.h_scale * (hmn - p.h_bias)
-            c1 = p.h_offset + p.h_scale * (hmx - p.h_bias)
-            dlo = jnp.minimum(c0, c1)
-            dhi = jnp.maximum(c0, c1)
-            # hull over cos-tilt range [ct_min, 1] + epsilon widening
-            margin = 1e-3 + 0.002 * (jnp.abs(dhi) + jnp.abs(dlo))
-            ivlo = jnp.minimum(dlo, dlo * ct_min) - margin
-            ivhi = jnp.maximum(dhi, dhi * ct_min) + margin
-
-            # conservative exit t of the coarse texel along uv motion
+            # PATCH-space texels (level-0 entries are bilinear-patch bounds;
+            # patch x covers sample coords [x, x+1] = uv*s - 0.5)
             uv_eps, _ = uv_of(t + dt_fine)
             duv = (uv_eps - uv) / jnp.maximum(dt_fine, 1e-9)[:, None]
 
@@ -620,17 +774,45 @@ def intersect_tfdm_v2(geom: TFDMGeometry, o, d, t_min=1e-4, t_max=1e30,
                 return jnp.where(jnp.abs(dg_) < 1e-9, jnp.inf,
                                  jnp.maximum(dist, 0.0))
 
-            scale_g = s / blk  # d(grid)/d(uv)
-            tex_dt = jnp.minimum(
-                exit_axis(gx, duv[:, 0] * scale_g),
-                exit_axis(gy, duv[:, 1] * scale_g))
-            t_exit = jnp.minimum(t + jnp.maximum(tex_dt, dt_min) + 1e-7, far)
+            def level_test(level_arr, size):
+                """(occupied, t_exit) of this level's texel at uv: widened
+                displacement-mapped minmax interval vs the ray height span
+                across the texel crossing (linear in t)."""
+                blk = s // size
+                gx = (uv[:, 0] * s - 0.5) / blk  # continuous grid coord
+                gy = (uv[:, 1] * s - 0.5) / blk
+                xc = jnp.floor(gx).astype(jnp.int32) % size
+                yc = jnp.floor(gy).astype(jnp.int32) % size
+                c0 = p.h_offset + p.h_scale * (level_arr[yc, xc, 0] - p.h_bias)
+                c1 = p.h_offset + p.h_scale * (level_arr[yc, xc, 1] - p.h_bias)
+                dlo = jnp.minimum(c0, c1)
+                dhi = jnp.maximum(c0, c1)
+                # hull over cos-tilt range [ct_min, 1] + epsilon widening
+                margin = 1e-3 + 0.002 * (jnp.abs(dhi) + jnp.abs(dlo))
+                ivlo = jnp.minimum(dlo, dlo * ct_min) - margin
+                ivhi = jnp.maximum(dhi, dhi * ct_min) + margin
+                scale_g = s / blk  # d(grid)/d(uv)
+                tex_dt = jnp.minimum(
+                    exit_axis(gx, duv[:, 0] * scale_g),
+                    exit_axis(gy, duv[:, 1] * scale_g))
+                t_exit = jnp.minimum(
+                    t + jnp.maximum(tex_dt, dt_min) + 1e-7, far)
+                h2 = h + dh_dt * (t_exit - t)
+                span_lo = jnp.minimum(h, h2) - 1e-4
+                span_hi = jnp.maximum(h, h2) + 1e-4
+                return (span_lo <= ivhi) & (span_hi >= ivlo), t_exit
 
-            # ray height span across [t, t_exit] (linear in t)
-            h2 = h + dh_dt * (t_exit - t)
-            span_lo = jnp.minimum(h, h2) - 1e-4
-            span_hi = jnp.maximum(h, h2) + 1e-4
-            occupied = (span_lo <= ivhi) & (span_hi >= ivlo)
+            # pyramid descent: coarse texel, then (when coarse is occupied)
+            # the finer mid texel — empty space is skipped at the emptiest
+            # level's exit (reference: per-texel pyramid descend-or-advance)
+            occ_c, t_exit_c = level_test(coarse, cs)
+            if use_mid:
+                occ_m, t_exit_m = level_test(mid, ms_)
+                occupied = occ_c & occ_m
+                t_exit = jnp.where(occ_c, t_exit_m, t_exit_c)
+            else:
+                occupied = occ_c
+                t_exit = t_exit_c
 
             gap, inside = gap_of(t)
             crossing = (running & prev_valid & inside
@@ -644,7 +826,13 @@ def intersect_tfdm_v2(geom: TFDMGeometry, o, d, t_min=1e-4, t_max=1e30,
             # clamp to far and still EVALUATE there: the crossing check runs
             # at iteration start, so the terminal point needs its own pass
             t_next = jnp.minimum(jnp.where(skip, t_exit, t + dt_fine), far)
-            prev_valid = fine & inside  # continuity only across fine steps
+            # continuity only across fine steps; do NOT also require
+            # `inside` at the PREVIOUS sample — the AABB-entry sample can
+            # sit a float-epsilon outside the triangle (barycentric
+            # ~-2e-3), and requiring it would silently drop crossings that
+            # happen within the first fine step (a wall right behind the
+            # prism boundary). `inside` still gates at the CURRENT sample.
+            prev_valid = fine
             gap_prev = gap
             running = running & ~found & (t < far - 1e-7) & (
                 steps < max_steps)
@@ -694,10 +882,15 @@ def intersect_tfdm_v2(geom: TFDMGeometry, o, d, t_min=1e-4, t_max=1e30,
             jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
         nrm = nrm * jnp.sign(jnp.sum(nrm * fn, -1, keepdims=True) + 1e-12)
 
-        best_prim = jnp.where(take, ids[:, k], best_prim)
+        best_prim = jnp.where(take, cid, best_prim)
         best_uv = jnp.where(take[:, None], uv_hit, best_uv)
         best_nrm = jnp.where(take[:, None], nrm, best_nrm)
         best_t = jnp.where(take, t_hit, best_t)
+        return (best_t, best_prim, best_uv, best_nrm, steps_total)
+
+    best_t, best_prim, best_uv, best_nrm, steps_total = iterate_candidates(
+        geom.aabb_min, geom.aabb_max, o, d, t_min, t_max, k_candidates,
+        state0, process, lambda st: st[0])
 
     return TFDMHit(
         t=best_t, hit=best_prim >= 0,

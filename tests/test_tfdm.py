@@ -150,7 +150,20 @@ def test_tfdm_v2_matches_v1():
     m2 = np.asarray(h2.hit)
     agree = m1 == m2
     assert agree.mean() >= 0.96, agree.mean()  # grazing-edge lanes may differ
-    assert not np.any(m2 & ~m1)  # v2 must not hallucinate hits
+    # v2 may legitimately find grazing hits v1's fixed-step march steps
+    # over, but any v2-only hit must lie ON the displaced surface: check
+    # the residual of y - h_scale * bilinear(height, uv) at the hit point
+    for i in np.where(m2 & ~m1)[0]:
+        p = o[i] + float(np.asarray(h2.t)[i]) * d[i]
+        x = (p[0] % 1.0) * s - 0.5
+        y_ = (p[2] % 1.0) * s - 0.5
+        x0, y0 = int(np.floor(x)), int(np.floor(y_))
+        fx, fy = x - x0, y_ - y0
+        hb = (height[y0 % s, x0 % s] * (1 - fx) * (1 - fy)
+              + height[y0 % s, (x0 + 1) % s] * fx * (1 - fy)
+              + height[(y0 + 1) % s, x0 % s] * (1 - fx) * fy
+              + height[(y0 + 1) % s, (x0 + 1) % s] * fx * fy)
+        assert abs(p[1] - 0.3 * hb) < 2e-3, (i, p, 0.3 * hb)
     both = m1 & m2
     assert np.allclose(np.asarray(h2.t)[both], np.asarray(h1.t)[both],
                        rtol=5e-3, atol=2e-3)
@@ -189,3 +202,151 @@ def test_tfdm_v2_step_reduction():
     h2 = intersect_tfdm_v2(geom, o, d)
     # vertical rays through empty texels: a handful of skips, not a march
     assert int(np.asarray(h2.steps).max()) < 24, np.asarray(h2.steps)
+
+
+def test_tfdm_v2_dense_overlap_uncapped():
+    """A grazing ray entering MANY prism AABBs before the true hit: the old
+    top-k=4 candidate cap silently dropped the hit (ADVICE r2); the
+    candidate stream must keep going until the next AABB is farther than
+    the best hit. Oracle: pure-numpy fine march + bisection of the bilinear
+    displaced surface (the base mesh is a flat plane, so world y maps to
+    the height field directly)."""
+    from gfxexp_tpu.techniques.tfdm import intersect_tfdm_v2
+
+    s = 64
+    height = np.full((s, s), 0.1, np.float32)
+    height[:, 56:60] = 0.9  # tall wall near the far (x) end
+    positions, indices, uvs, normals = _subdivided_plane(16)  # 512 prisms
+    h_scale = 0.5
+    geom = build_tfdm_geometry(positions, indices, uvs, height,
+                               params=DisplacementParameters(h_scale=h_scale),
+                               normals=normals)
+    # every prism AABB spans the GLOBAL height interval [0.05, 0.45], so a
+    # near-horizontal ray at y ~ 0.3 enters ~2 prisms per subdivision cell
+    # it passes over (~28 AABBs) before reaching the wall at x ~ 0.875
+    o_np = np.asarray([0.0, 0.30, 0.53])
+    d_np = np.asarray([1.0, -0.02, 0.0])
+    d_np = d_np / np.linalg.norm(d_np)
+
+    def bilinear_np(u, v):
+        x = (u % 1.0) * s - 0.5
+        y = (v % 1.0) * s - 0.5
+        x0, y0 = int(np.floor(x)), int(np.floor(y))
+        fx, fy = x - x0, y - y0
+        h00 = height[y0 % s, x0 % s]
+        h10 = height[y0 % s, (x0 + 1) % s]
+        h01 = height[(y0 + 1) % s, x0 % s]
+        h11 = height[(y0 + 1) % s, (x0 + 1) % s]
+        return (h00 * (1 - fx) * (1 - fy) + h10 * fx * (1 - fy)
+                + h01 * (1 - fx) * fy + h11 * fx * fy)
+
+    def gap(t):
+        p = o_np + t * d_np
+        return p[1] - h_scale * bilinear_np(p[0], p[2])
+
+    t_oracle = None
+    ts = np.linspace(1e-4, 1.2, 6000)
+    for a, b in zip(ts[:-1], ts[1:]):
+        if gap(a) > 0 >= gap(b):
+            for _ in range(40):  # bisect
+                m = 0.5 * (a + b)
+                a, b = (m, b) if gap(m) > 0 else (a, m)
+            t_oracle = 0.5 * (a + b)
+            break
+    assert t_oracle is not None and t_oracle > 0.8, t_oracle
+
+    o = jnp.asarray([o_np], jnp.float32)
+    d = jnp.asarray([d_np], jnp.float32)
+    h2 = intersect_tfdm_v2(geom, o, d, k_candidates=4)
+    assert bool(h2.hit[0]), "uncapped candidate stream must find the wall"
+    assert abs(float(h2.t[0]) - t_oracle) < 0.02, (float(h2.t[0]), t_oracle)
+
+
+def test_tfdm_v2_10k_prism_scale():
+    """A 10k-base-triangle displaced mesh stays tractable: the broad phase
+    is chunked (bounded intermediates) and candidates stream per ray
+    (VERDICT r2 item 4 scale criterion)."""
+    from gfxexp_tpu.techniques.tfdm import intersect_tfdm_v2
+
+    s = 64
+    yy, xx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+    height = (0.5 + 0.4 * np.sin(2 * np.pi * xx / s)).astype(np.float32)
+    positions, indices, uvs, normals = _subdivided_plane(72)  # 10368 prisms
+    geom = build_tfdm_geometry(positions, indices, uvs, height,
+                               params=DisplacementParameters(h_scale=0.25),
+                               normals=normals)
+    assert geom.p0.shape[0] == 10368
+    rng = np.random.default_rng(11)
+    n = 64
+    o = np.stack([rng.uniform(0.1, 0.9, n), np.full(n, 1.0),
+                  rng.uniform(0.1, 0.9, n)], -1).astype(np.float32)
+    d = np.tile(np.asarray([[0.0, -1.0, 0.0]], np.float32), (n, 1))
+    h2 = intersect_tfdm_v2(geom, jnp.asarray(o), jnp.asarray(d))
+    hits = np.asarray(h2.hit)
+    assert hits.all(), hits.mean()
+    t = np.asarray(h2.t)
+    # surface lies at y = 0.25*(0.5 + 0.4 sin(2 pi u)); t = 1 - y
+    u = o[:, 0]
+    expect = 1.0 - 0.25 * (0.5 + 0.4 * np.sin(2 * np.pi * u))
+    assert np.allclose(t, expect, atol=0.02), np.abs(t - expect).max()
+
+
+def test_bspline_local_intersection():
+    """LOCAL_INTERSECTION_BSPLINE evaluates the bicubic uniform B-spline
+    surface (16-tap), validated against an independent numpy evaluation at
+    the hit uv (VERDICT r2 item 6 — was silently aliased to bilinear)."""
+    from gfxexp_tpu.techniques.tfdm import (
+        LOCAL_INTERSECTION_BSPLINE, intersect_tfdm, sample_height)
+
+    s = 32
+    rng = np.random.default_rng(7)
+    height = rng.uniform(0.2, 0.8, (s, s)).astype(np.float32)
+    params = DisplacementParameters(
+        h_scale=0.3, local_intersection_type=LOCAL_INTERSECTION_BSPLINE)
+    geom = _plane_geom(height, params)
+
+    def bspline_np(u, v):
+        # independent numpy evaluation of the same uniform cubic B-spline
+        x = (u % 1.0) * s - 0.5
+        y = (v % 1.0) * s - 0.5
+        x0, y0 = int(np.floor(x)), int(np.floor(y))
+        fx, fy = x - x0, y - y0
+
+        def w(f):
+            return np.array([
+                (1 - 3 * f + 3 * f * f - f**3) / 6,
+                (4 - 6 * f * f + 3 * f**3) / 6,
+                (1 + 3 * f + 3 * f * f - 3 * f**3) / 6,
+                f**3 / 6,
+            ])
+
+        wx, wy = w(fx), w(fy)
+        acc = 0.0
+        for j in range(4):
+            for i in range(4):
+                acc += (wy[j] * wx[i]
+                        * height[(y0 + j - 1) % s, (x0 + i - 1) % s])
+        return acc
+
+    # direct sample agreement
+    uv = jnp.asarray([[0.37, 0.61], [0.05, 0.93], [0.5, 0.5]], jnp.float32)
+    got = np.asarray(sample_height(geom, uv))
+    want = np.array([bspline_np(0.37, 0.61), bspline_np(0.05, 0.93),
+                     bspline_np(0.5, 0.5)])
+    assert np.allclose(got, want, atol=1e-5), (got, want)
+
+    # B-splines reproduce constants exactly (partition of unity)
+    geom_c = _plane_geom(np.full((16, 16), 0.5, np.float32), params)
+    uvc = jnp.asarray(rng.uniform(0, 1, (8, 2)), jnp.float32)
+    assert np.allclose(np.asarray(sample_height(geom_c, uvc)), 0.5, atol=1e-6)
+
+    # intersection: vertical rays hit at t = 1 - 0.3 * bspline(u, v)
+    o_np = np.stack([rng.uniform(0.2, 0.8, 6), np.full(6, 1.0),
+                     rng.uniform(0.2, 0.8, 6)], -1).astype(np.float32)
+    d = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32), (6, 1))
+    hit = intersect_tfdm(geom, jnp.asarray(o_np), d, n_steps=96)
+    assert np.asarray(hit.hit).all()
+    expect = np.array([1.0 - 0.3 * bspline_np(o_np[i, 0], o_np[i, 2])
+                       for i in range(6)])
+    assert np.allclose(np.asarray(hit.t), expect, atol=5e-3), (
+        np.asarray(hit.t), expect)
