@@ -44,7 +44,7 @@ def build_bench_scene(big: bool = False):
     from gfxexp_tpu.scene.loaders import load_obj
 
     cache_file = os.path.join(
-        _CACHE, "bench_scene_big_v7.pkl" if big else "bench_scene_v7.pkl")
+        _CACHE, "bench_scene_big_v9.pkl" if big else "bench_scene_v9.pkl")
     if os.path.exists(cache_file):
         try:
             with open(cache_file, "rb") as f:
@@ -70,23 +70,38 @@ def build_bench_scene(big: bool = False):
     teapot = os.path.join(_REF_DATA, "teapot.obj")
     bunny = os.path.join(_REF_DATA, "stanford_bunny_309_faces.obj")
 
+    # load each mesh ONCE and share the geometry ids across instances —
+    # compile_instanced dedupes BLAS groups by geometry-id tuple, so
+    # re-loading per instance would give every instance a private BLAS
+    # table (74x memory, a fresh ~2 MB node-table DMA per grid step)
+    teapot_geoms = (load_obj(teapot, b, material_convention="trad")
+                    if os.path.exists(teapot) else None)
+    bunny_geoms = (load_obj(bunny, b, material_convention="trad")
+                   if os.path.exists(bunny) else None)
+    sphere_a = sphere_b = None
+
     def teapot_at(tx, tz):
-        if os.path.exists(teapot):
-            geoms = load_obj(teapot, b, material_convention="trad")
-            b.add_instance(geoms, affine(scale=0.004, translation=[tx, 0.0, tz]))
+        nonlocal sphere_a
+        if teapot_geoms is not None:
+            b.add_instance(teapot_geoms,
+                           affine(scale=0.004, translation=[tx, 0.0, tz]))
         else:
-            mat = b.add_diffuse_specular_material((0.7, 0.4, 0.2), (0.2,) * 3, 0.7)
-            b.add_instance(b.add_sphere(0.25, mat),
-                           affine(translation=[tx, 0.25, tz]))
+            if sphere_a is None:
+                mat = b.add_diffuse_specular_material(
+                    (0.7, 0.4, 0.2), (0.2,) * 3, 0.7)
+                sphere_a = b.add_sphere(0.25, mat)
+            b.add_instance(sphere_a, affine(translation=[tx, 0.25, tz]))
 
     def bunny_at(tx, tz):
-        if os.path.exists(bunny):
-            geoms = load_obj(bunny, b, material_convention="trad")
-            b.add_instance(geoms, affine(scale=0.3, translation=[tx, 0.0, tz]))
+        nonlocal sphere_b
+        if bunny_geoms is not None:
+            b.add_instance(bunny_geoms,
+                           affine(scale=0.3, translation=[tx, 0.0, tz]))
         else:
-            mat = b.add_lambert_material((0.3, 0.6, 0.3))
-            b.add_instance(b.add_sphere(0.2, mat),
-                           affine(translation=[tx, 0.2, tz]))
+            if sphere_b is None:
+                mat = b.add_lambert_material((0.3, 0.6, 0.3))
+                sphere_b = b.add_sphere(0.2, mat)
+            b.add_instance(sphere_b, affine(translation=[tx, 0.2, tz]))
 
     if big:
         for gx in range(6):
