@@ -203,7 +203,8 @@ MAX_ROWS_PER_CHUNK = 13000
 
 
 def build_widerow(p0, e1, e2, arity: int = 4, max_leaf: int = 4,
-                  max_rows: int = MAX_ROWS_PER_CHUNK):
+                  max_rows: int = MAX_ROWS_PER_CHUNK,
+                  spatial_splits: bool = False):
     """Build the wide-row acceleration structure for arbitrary scene sizes.
 
     Scenes whose row table fits the VMEM budget get one chunk. Larger
@@ -227,7 +228,8 @@ def build_widerow(p0, e1, e2, arity: int = 4, max_leaf: int = 4,
     # rows ~ leaves + internals; leaves ~ n/max_leaf * fill-slack
     est_rows = int(n / max_leaf * 1.5 * (1.0 + 1.0 / max(arity - 1, 1))) + 64
     if est_rows <= max_rows:
-        bvh, perm = build_bvh(p0, e1, e2, arity=arity, max_leaf=max_leaf)
+        bvh, perm = build_bvh(p0, e1, e2, arity=arity, max_leaf=max_leaf,
+                              spatial_splits=spatial_splits)
         tab = _pack_one(bvh, p0[perm], e1[perm], e2[perm])
         # the estimate is a heuristic: a poorly-filled build (many 1-tri
         # leaves) can exceed it — verify the ACTUAL packed size and fall
@@ -304,14 +306,16 @@ def build_widerow(p0, e1, e2, arity: int = 4, max_leaf: int = 4,
 def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
                  stack_depth: int, any_hit: bool, rows: int,
                  instanced: bool = False, culled: bool = False,
-                 n_chunks: int = 0):
+                 n_chunks: int = 0, step_skip: bool = False):
     net = _NET4 if arity <= 4 else _NET8
     K = arity
 
     def kernel(*refs):
-        work = cnt = None
+        work = cnt = work_near = None
         if culled:
             (work, cnt), refs = refs[:2], refs[2:]
+        if step_skip:
+            (work_near,), refs = refs[:1], refs[1:]
         if instanced:
             (blas_ids, transforms, nodes, rays,
              out_t, out_tri, out_u, out_v, out_it, out_inst) = refs
@@ -319,270 +323,296 @@ def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
             nodes, rays, out_t, out_tri, out_u, out_v, out_it = refs
             transforms = out_inst = None
 
-        def comp(c):
-            return rays[0, c, :].reshape(rows, _LANE)
-
-        ox, oy, oz = comp(0), comp(1), comp(2)
-        dx, dy, dz = comp(3), comp(4), comp(5)
-        tmin = comp(6)
-        tmax = comp(7)
-
         # with culling, the chunk/instance this step traverses comes from
         # the per-tile worklist (scalar prefetch); steps past the tile's
-        # live count are no-ops revisiting the resident node block
+        # live count SKIP the whole body via pl.when (a padded step used
+        # to pay the full prologue/epilogue: ~0.35 ms each on v5e) and
+        # revisit the resident node block. The first step always runs so
+        # the carried out blocks are initialized.
         if culled:
             chunk_id = work[pl.program_id(0) * n_chunks + pl.program_id(1)]
             step_valid = pl.program_id(1) < cnt[pl.program_id(0)]
         else:
             chunk_id = pl.program_id(1)
             step_valid = True
-
-        if instanced:
-            # world ray -> this instance's object space. The direction is
-            # NOT renormalized, so the ray parameter t is preserved across
-            # the affine map — best_t stays in world units and composes
-            # across instances (reference: OptiX does the same transform
-            # into GAS space for IAS traversal). Transforms live in SMEM
-            # (scalar prefetch): 12 scalar reads, broadcast into the VPU.
-            tbase = chunk_id * 16
-            m = [transforms[tbase + j] for j in range(12)]
-            ox2 = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
-            oy2 = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
-            oz2 = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
-            dx2 = m[0] * dx + m[1] * dy + m[2] * dz
-            dy2 = m[4] * dx + m[5] * dy + m[6] * dz
-            dz2 = m[8] * dx + m[9] * dy + m[10] * dz
-            ox, oy, oz, dx, dy, dz = ox2, oy2, oz2, dx2, dy2, dz2
-
-        def safe_inv(v):
-            tiny = jnp.where(v < 0, -1e-12, 1e-12)
-            return 1.0 / jnp.where(jnp.abs(v) < 1e-12, tiny, v)
-
-        ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
-        sp_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, stack_depth), 1)
-
-        # chunk dimension is INNER (grid = (tiles, chunks)): the best-hit
-        # state carries across chunks through the (revisited) output block,
-        # so each chunk's traversal starts pre-culled by every earlier
-        # chunk's hits. First chunk initializes from the rays. In instanced
-        # mode a chunk IS an instance (sorted by BLAS so consecutive
-        # instances reuse the resident node table without a new DMA).
         first_chunk = pl.program_id(1) == 0
-        # invalid (padding) steps start every row at -1: the while loop
-        # exits immediately and the carried best-hit state passes through
-        cur0 = jnp.where(step_valid, 0, -1) if culled else 0
-        init = (
-            jnp.full((rows, 1), 0, jnp.int32) + cur0,  # cur row (-1 = done)
-            jnp.zeros((rows, 1), jnp.int32),  # sp
-            jnp.full((rows, stack_depth), -1, jnp.int32),  # stack
-            jnp.where(first_chunk, tmax, out_t[0]),
-            jnp.where(first_chunk, -1, out_tri[0]),
-            jnp.where(first_chunk, 0.0, out_u[0]),
-            jnp.where(first_chunk, 0.0, out_v[0]),
-            # per-row iteration count [rows, LANE]. Initialized from
-            # runtime data, NOT a constant: a splat init gets a replicated
-            # Mosaic layout and the loop-carry relayout from the body's
-            # non-replicated value is then rejected.
-            jnp.where(first_chunk, (tmax * 0.0).astype(jnp.int32),
-                      out_it[0]),
-            jnp.where(first_chunk, ((tmax * 0.0).astype(jnp.int32) - 1),
-                      out_inst[0]) if instanced else
-            (tmax * 0.0).astype(jnp.int32),
-        )
 
-        def cond(s):
-            return jnp.max(s[0]) >= 0
+        if step_skip:
+            # dynamic worklist truncation: worklists are ordered by entry
+            # distance, so once every lane's best t beats this step's
+            # entry distance no later step of this tile can improve —
+            # skip the whole body (grid bookkeeping + overlapped DMA
+            # only). The entry distance rides scalar prefetch as f32 in
+            # SMEM (Mosaic cannot bitcast scalars); out_t is garbage at
+            # the first step but first_chunk forces that step to run.
+            near_f = work_near[
+                pl.program_id(0) * n_chunks + pl.program_id(1)]
+            cant_improve = near_f > jnp.max(out_t[0])
+            step_valid = step_valid & jnp.logical_not(cant_improve)
 
-        def body(s):
-            (cur, sp, stack, best_t, best_tri, best_u, best_v, iters,
-             best_inst) = s
-            active = cur >= 0  # [rows, 1]
-            iters = iters + active.astype(jnp.int32)
-            curc = jnp.clip(cur, 0, n_rows_tab - 1)
-            rowdat = jnp.concatenate(
-                [nodes[0, pl.ds(curc[r, 0], 1), :] for r in range(rows)],
-                axis=0)  # [rows, width]
-            is_leaf = rowdat[:, width - 1:width] > 0.5  # [rows, 1]
-            int_active = active & ~is_leaf
-            leaf_active = active & is_leaf
+        def step_body():
+         def comp(c):
+             return rays[0, c, :].reshape(rows, _LANE)
 
-            # ---- internal phase: test K children, ordered push ----------
-            def internal_fn(carry):
-                sp, stack = carry
-                nears, metas, valids = [], [], []
-                for k in range(K):
-                    base = 7 * k
-                    lox = rowdat[:, base + 0:base + 1]
-                    loy = rowdat[:, base + 1:base + 2]
-                    loz = rowdat[:, base + 2:base + 3]
-                    hix = rowdat[:, base + 3:base + 4]
-                    hiy = rowdat[:, base + 4:base + 5]
-                    hiz = rowdat[:, base + 5:base + 6]
-                    meta = jax.lax.bitcast_convert_type(
-                        rowdat[:, base + 6:base + 7], jnp.int32)
-                    tx0 = (lox - ox) * ix
-                    tx1 = (hix - ox) * ix
-                    ty0 = (loy - oy) * iy
-                    ty1 = (hiy - oy) * iy
-                    tz0 = (loz - oz) * iz
-                    tz1 = (hiz - oz) * iz
-                    near = jnp.maximum(
-                        jnp.maximum(jnp.minimum(tx0, tx1),
-                                    jnp.minimum(ty0, ty1)),
-                        jnp.maximum(jnp.minimum(tz0, tz1), tmin))
-                    far = jnp.minimum(
-                        jnp.minimum(jnp.maximum(tx0, tx1),
-                                    jnp.maximum(ty0, ty1)),
-                        jnp.minimum(jnp.maximum(tz0, tz1), best_t))
-                    hits = near <= far  # [rows, 128]
-                    ok = int_active & (meta >= 0) & jnp.any(
-                        hits, axis=1, keepdims=True)
-                    # entry distance orders the descent. Nearest-first
-                    # matters for any-hit too: descending toward the
-                    # occluder resolves lanes early (unordered descent
-                    # measured 16.8 -> 28.1 ms on incoherent occlusion rays)
-                    row_near = jnp.min(jnp.where(hits, near, jnp.inf),
-                                       axis=1, keepdims=True)
-                    nears.append(jnp.where(ok, row_near, jnp.inf))
-                    metas.append(meta)
-                    # i32, not bool: Mosaic can't lower selects on i1
-                    # vectors ("Unsupported target bitwidth for truncation")
-                    valids.append(ok.astype(jnp.int32))
-                # ascending sort by near; invalid children park at +inf
-                for a, b in net:
-                    swap = nears[a] > nears[b]
-                    na = jnp.where(swap, nears[b], nears[a])
-                    nb = jnp.where(swap, nears[a], nears[b])
-                    ma = jnp.where(swap, metas[b], metas[a])
-                    mb = jnp.where(swap, metas[a], metas[b])
-                    va = jnp.where(swap, valids[b], valids[a])
-                    vb = jnp.where(swap, valids[a], valids[b])
-                    nears[a], nears[b] = na, nb
-                    metas[a], metas[b] = ma, mb
-                    valids[a], valids[b] = va, vb
-                # push far->near so pops come nearest-first
-                for srt in range(K - 1, 0, -1):
-                    do = valids[srt] > 0
-                    stack = jnp.where(do & (sp_iota == sp), metas[srt], stack)
-                    sp = sp + valids[srt]
-                nxt = jnp.where(valids[0] > 0, metas[0], -1)
-                return sp, stack, nxt
+         ox, oy, oz = comp(0), comp(1), comp(2)
+         dx, dy, dz = comp(3), comp(4), comp(5)
+         tmin = comp(6)
+         tmax = comp(7)
 
-            def internal_skip(carry):
-                sp, stack = carry
-                return sp, stack, jnp.full((rows, 1), -1, jnp.int32)
+         if instanced:
+             # world ray -> this instance's object space. The direction is
+             # NOT renormalized, so the ray parameter t is preserved across
+             # the affine map — best_t stays in world units and composes
+             # across instances (reference: OptiX does the same transform
+             # into GAS space for IAS traversal). Transforms live in SMEM
+             # (scalar prefetch): 12 scalar reads, broadcast into the VPU.
+             tbase = chunk_id * 16
+             m = [transforms[tbase + j] for j in range(12)]
+             ox2 = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+             oy2 = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+             oz2 = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+             dx2 = m[0] * dx + m[1] * dy + m[2] * dz
+             dy2 = m[4] * dx + m[5] * dy + m[6] * dz
+             dz2 = m[8] * dx + m[9] * dy + m[10] * dz
+             ox, oy, oz, dx, dy, dz = ox2, oy2, oz2, dx2, dy2, dz2
 
-            if _USE_PHASE_CONDS:
-                sp, stack, nxt_int = jax.lax.cond(
-                    jnp.any(int_active), internal_fn, internal_skip,
-                    (sp, stack))
-            else:
-                sp, stack, nxt_int = internal_fn((sp, stack))
+         def safe_inv(v):
+             tiny = jnp.where(v < 0, -1e-12, 1e-12)
+             return 1.0 / jnp.where(jnp.abs(v) < 1e-12, tiny, v)
 
-            # ---- leaf phase: Baldwin–Weber triangles inline in the row --
-            def leaf_fn(carry):
-                best_t, best_tri, best_u, best_v, best_inst = carry
-                packed = jax.lax.bitcast_convert_type(
-                    rowdat[:, width - 4:width - 3], jnp.int32)
-                fst = packed & ((1 << _COUNT_SHIFT) - 1)
-                cnt = jnp.where(leaf_active, packed >> _COUNT_SHIFT, 0)
-                row_any = None
-                for j in range(max_leaf):
-                    base = 12 * j
-                    nx = rowdat[:, base + 0:base + 1]
-                    ny = rowdat[:, base + 1:base + 2]
-                    nz = rowdat[:, base + 2:base + 3]
-                    nd = rowdat[:, base + 3:base + 4]
-                    den = nx * dx + ny * dy + nz * dz
-                    num = nx * ox + ny * oy + nz * oz + nd
-                    # den = n.d = -det(MT): same scale as the old MT guard
-                    den_ok = jnp.abs(den) > 1e-12
-                    t = -num / jnp.where(den_ok, den, 1.0)
-                    # hit point shared by both barycentric rows
-                    px = ox + t * dx
-                    py = oy + t * dy
-                    pz = oz + t * dz
-                    ux = rowdat[:, base + 4:base + 5]
-                    uy = rowdat[:, base + 5:base + 6]
-                    uz = rowdat[:, base + 6:base + 7]
-                    ud = rowdat[:, base + 7:base + 8]
-                    u = ux * px + uy * py + uz * pz + ud
-                    vx = rowdat[:, base + 8:base + 9]
-                    vy = rowdat[:, base + 9:base + 10]
-                    vz = rowdat[:, base + 10:base + 11]
-                    vd = rowdat[:, base + 11:base + 12]
-                    v = vx * px + vy * py + vz * pz + vd
-                    ok = (
-                        (j < cnt) & den_ok
-                        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                        & (t > tmin) & (t < best_t)
-                    )
-                    if any_hit:
-                        # occlusion: only the fact of a hit matters
-                        row_any = ok if row_any is None else (row_any | ok)
-                    else:
-                        best_tri = jnp.where(ok, fst + j, best_tri)
-                        best_t = jnp.where(ok, t, best_t)
-                        best_u = jnp.where(ok, u, best_u)
-                        best_v = jnp.where(ok, v, best_v)
-                        if instanced:
-                            best_inst = jnp.where(ok, chunk_id, best_inst)
-                if any_hit:
-                    best_tri = jnp.where(row_any, fst, best_tri)
-                    # kill the resolved lane's descent votes outright:
-                    # best_t = -1 makes every future far < near for this
-                    # lane (stronger than shrinking to the hit t — resolved
-                    # lanes contribute NO further union-walk work)
-                    best_t = jnp.where(row_any, -1.0, best_t)
-                    if instanced:
-                        best_inst = jnp.where(row_any, chunk_id, best_inst)
-                return best_t, best_tri, best_u, best_v, best_inst
+         ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+         sp_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, stack_depth), 1)
 
-            if _USE_PHASE_CONDS:
-                best_t, best_tri, best_u, best_v, best_inst = jax.lax.cond(
-                    jnp.any(leaf_active), leaf_fn, lambda c: c,
-                    (best_t, best_tri, best_u, best_v, best_inst))
-            else:
-                best_t, best_tri, best_u, best_v, best_inst = leaf_fn(
-                    (best_t, best_tri, best_u, best_v, best_inst))
+         # chunk dimension is INNER (grid = (tiles, chunks)): the best-hit
+         # state carries across chunks through the (revisited) output block,
+         # so each chunk's traversal starts pre-culled by every earlier
+         # chunk's hits. First chunk initializes from the rays. In instanced
+         # mode a chunk IS an instance (sorted by BLAS so consecutive
+         # instances reuse the resident node table without a new DMA).
+         # invalid (padding) steps start every row at -1: the while loop
+         # exits immediately and the carried best-hit state passes through
+         cur0 = jnp.where(step_valid, 0, -1) if culled else 0
+         init = (
+             jnp.full((rows, 1), 0, jnp.int32) + cur0,  # cur row (-1 = done)
+             jnp.zeros((rows, 1), jnp.int32),  # sp
+             jnp.full((rows, stack_depth), -1, jnp.int32),  # stack
+             jnp.where(first_chunk, tmax, out_t[0]),
+             jnp.where(first_chunk, -1, out_tri[0]),
+             jnp.where(first_chunk, 0.0, out_u[0]),
+             jnp.where(first_chunk, 0.0, out_v[0]),
+             # per-row iteration count [rows, LANE]. Initialized from
+             # runtime data, NOT a constant: a splat init gets a replicated
+             # Mosaic layout and the loop-carry relayout from the body's
+             # non-replicated value is then rejected.
+             jnp.where(first_chunk, (tmax * 0.0).astype(jnp.int32),
+                       out_it[0]),
+             jnp.where(first_chunk, ((tmax * 0.0).astype(jnp.int32) - 1),
+                       out_inst[0]) if instanced else
+             (tmax * 0.0).astype(jnp.int32),
+         )
 
-            # ---- advance: descend, else pop, else done ------------------
-            nxt = jnp.where(int_active, nxt_int, -1)
-            can_pop = (nxt < 0) & (sp > 0)
-            popped = jnp.max(
-                jnp.where(can_pop & (sp_iota == sp - 1), stack, -1),
-                axis=1, keepdims=True)
-            sp = sp - can_pop.astype(jnp.int32)
-            nxt = jnp.where(can_pop, popped, nxt)
-            if any_hit:
-                live = jnp.any((tmax > 0.0) & (best_tri < 0), axis=1,
-                               keepdims=True)
-                nxt = jnp.where(live, nxt, -1)
-            return (nxt, sp, stack, best_t, best_tri, best_u, best_v,
-                    iters, best_inst)
+         def cond(s):
+             return jnp.max(s[0]) >= 0
 
-        out = jax.lax.while_loop(cond, body, init)
-        _, _, _, best_t, best_tri, best_u, best_v, iters, best_inst = out
-        out_t[0] = best_t
-        out_tri[0] = best_tri
-        out_u[0] = best_u
-        out_v[0] = best_v
-        out_it[0] = iters
-        if instanced:
-            out_inst[0] = best_inst
+         def body(s):
+             (cur, sp, stack, best_t, best_tri, best_u, best_v, iters,
+              best_inst) = s
+             active = cur >= 0  # [rows, 1]
+             iters = iters + active.astype(jnp.int32)
+             curc = jnp.clip(cur, 0, n_rows_tab - 1)
+             rowdat = jnp.concatenate(
+                 [nodes[0, pl.ds(curc[r, 0], 1), :] for r in range(rows)],
+                 axis=0)  # [rows, width]
+             is_leaf = rowdat[:, width - 1:width] > 0.5  # [rows, 1]
+             int_active = active & ~is_leaf
+             leaf_active = active & is_leaf
+
+             # ---- internal phase: test K children, ordered push ----------
+             def internal_fn(carry):
+                 sp, stack = carry
+                 nears, metas, valids = [], [], []
+                 for k in range(K):
+                     base = 7 * k
+                     lox = rowdat[:, base + 0:base + 1]
+                     loy = rowdat[:, base + 1:base + 2]
+                     loz = rowdat[:, base + 2:base + 3]
+                     hix = rowdat[:, base + 3:base + 4]
+                     hiy = rowdat[:, base + 4:base + 5]
+                     hiz = rowdat[:, base + 5:base + 6]
+                     meta = jax.lax.bitcast_convert_type(
+                         rowdat[:, base + 6:base + 7], jnp.int32)
+                     tx0 = (lox - ox) * ix
+                     tx1 = (hix - ox) * ix
+                     ty0 = (loy - oy) * iy
+                     ty1 = (hiy - oy) * iy
+                     tz0 = (loz - oz) * iz
+                     tz1 = (hiz - oz) * iz
+                     near = jnp.maximum(
+                         jnp.maximum(jnp.minimum(tx0, tx1),
+                                     jnp.minimum(ty0, ty1)),
+                         jnp.maximum(jnp.minimum(tz0, tz1), tmin))
+                     far = jnp.minimum(
+                         jnp.minimum(jnp.maximum(tx0, tx1),
+                                     jnp.maximum(ty0, ty1)),
+                         jnp.minimum(jnp.maximum(tz0, tz1), best_t))
+                     hits = near <= far  # [rows, 128]
+                     ok = int_active & (meta >= 0) & jnp.any(
+                         hits, axis=1, keepdims=True)
+                     # entry distance orders the descent. Nearest-first
+                     # matters for any-hit too: descending toward the
+                     # occluder resolves lanes early (unordered descent
+                     # measured 16.8 -> 28.1 ms on incoherent occlusion rays)
+                     row_near = jnp.min(jnp.where(hits, near, jnp.inf),
+                                        axis=1, keepdims=True)
+                     nears.append(jnp.where(ok, row_near, jnp.inf))
+                     metas.append(meta)
+                     # i32, not bool: Mosaic can't lower selects on i1
+                     # vectors ("Unsupported target bitwidth for truncation")
+                     valids.append(ok.astype(jnp.int32))
+                 # ascending sort by near; invalid children park at +inf
+                 for a, b in net:
+                     swap = nears[a] > nears[b]
+                     na = jnp.where(swap, nears[b], nears[a])
+                     nb = jnp.where(swap, nears[a], nears[b])
+                     ma = jnp.where(swap, metas[b], metas[a])
+                     mb = jnp.where(swap, metas[a], metas[b])
+                     va = jnp.where(swap, valids[b], valids[a])
+                     vb = jnp.where(swap, valids[a], valids[b])
+                     nears[a], nears[b] = na, nb
+                     metas[a], metas[b] = ma, mb
+                     valids[a], valids[b] = va, vb
+                 # push far->near so pops come nearest-first
+                 for srt in range(K - 1, 0, -1):
+                     do = valids[srt] > 0
+                     stack = jnp.where(do & (sp_iota == sp), metas[srt], stack)
+                     sp = sp + valids[srt]
+                 nxt = jnp.where(valids[0] > 0, metas[0], -1)
+                 return sp, stack, nxt
+
+             def internal_skip(carry):
+                 sp, stack = carry
+                 return sp, stack, jnp.full((rows, 1), -1, jnp.int32)
+
+             if _USE_PHASE_CONDS:
+                 sp, stack, nxt_int = jax.lax.cond(
+                     jnp.any(int_active), internal_fn, internal_skip,
+                     (sp, stack))
+             else:
+                 sp, stack, nxt_int = internal_fn((sp, stack))
+
+             # ---- leaf phase: Baldwin–Weber triangles inline in the row --
+             def leaf_fn(carry):
+                 best_t, best_tri, best_u, best_v, best_inst = carry
+                 packed = jax.lax.bitcast_convert_type(
+                     rowdat[:, width - 4:width - 3], jnp.int32)
+                 fst = packed & ((1 << _COUNT_SHIFT) - 1)
+                 cnt = jnp.where(leaf_active, packed >> _COUNT_SHIFT, 0)
+                 row_any = None
+                 for j in range(max_leaf):
+                     base = 12 * j
+                     nx = rowdat[:, base + 0:base + 1]
+                     ny = rowdat[:, base + 1:base + 2]
+                     nz = rowdat[:, base + 2:base + 3]
+                     nd = rowdat[:, base + 3:base + 4]
+                     den = nx * dx + ny * dy + nz * dz
+                     num = nx * ox + ny * oy + nz * oz + nd
+                     # den = n.d = -det(MT): same scale as the old MT guard
+                     den_ok = jnp.abs(den) > 1e-12
+                     t = -num / jnp.where(den_ok, den, 1.0)
+                     # hit point shared by both barycentric rows
+                     px = ox + t * dx
+                     py = oy + t * dy
+                     pz = oz + t * dz
+                     ux = rowdat[:, base + 4:base + 5]
+                     uy = rowdat[:, base + 5:base + 6]
+                     uz = rowdat[:, base + 6:base + 7]
+                     ud = rowdat[:, base + 7:base + 8]
+                     u = ux * px + uy * py + uz * pz + ud
+                     vx = rowdat[:, base + 8:base + 9]
+                     vy = rowdat[:, base + 9:base + 10]
+                     vz = rowdat[:, base + 10:base + 11]
+                     vd = rowdat[:, base + 11:base + 12]
+                     v = vx * px + vy * py + vz * pz + vd
+                     ok = (
+                         (j < cnt) & den_ok
+                         & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                         & (t > tmin) & (t < best_t)
+                     )
+                     if any_hit:
+                         # occlusion: only the fact of a hit matters
+                         row_any = ok if row_any is None else (row_any | ok)
+                     else:
+                         best_tri = jnp.where(ok, fst + j, best_tri)
+                         best_t = jnp.where(ok, t, best_t)
+                         best_u = jnp.where(ok, u, best_u)
+                         best_v = jnp.where(ok, v, best_v)
+                         if instanced:
+                             best_inst = jnp.where(ok, chunk_id, best_inst)
+                 if any_hit:
+                     best_tri = jnp.where(row_any, fst, best_tri)
+                     # kill the resolved lane's descent votes outright:
+                     # best_t = -1 makes every future far < near for this
+                     # lane (stronger than shrinking to the hit t — resolved
+                     # lanes contribute NO further union-walk work)
+                     best_t = jnp.where(row_any, -1.0, best_t)
+                     if instanced:
+                         best_inst = jnp.where(row_any, chunk_id, best_inst)
+                 return best_t, best_tri, best_u, best_v, best_inst
+
+             if _USE_PHASE_CONDS:
+                 best_t, best_tri, best_u, best_v, best_inst = jax.lax.cond(
+                     jnp.any(leaf_active), leaf_fn, lambda c: c,
+                     (best_t, best_tri, best_u, best_v, best_inst))
+             else:
+                 best_t, best_tri, best_u, best_v, best_inst = leaf_fn(
+                     (best_t, best_tri, best_u, best_v, best_inst))
+
+             # ---- advance: descend, else pop, else done ------------------
+             nxt = jnp.where(int_active, nxt_int, -1)
+             can_pop = (nxt < 0) & (sp > 0)
+             popped = jnp.max(
+                 jnp.where(can_pop & (sp_iota == sp - 1), stack, -1),
+                 axis=1, keepdims=True)
+             sp = sp - can_pop.astype(jnp.int32)
+             nxt = jnp.where(can_pop, popped, nxt)
+             if any_hit:
+                 live = jnp.any((tmax > 0.0) & (best_tri < 0), axis=1,
+                                keepdims=True)
+                 nxt = jnp.where(live, nxt, -1)
+             return (nxt, sp, stack, best_t, best_tri, best_u, best_v,
+                     iters, best_inst)
+
+         out = jax.lax.while_loop(cond, body, init)
+         _, _, _, best_t, best_tri, best_u, best_v, iters, best_inst = out
+         out_t[0] = best_t
+         out_tri[0] = best_tri
+         out_u[0] = best_u
+         out_v[0] = best_v
+         out_it[0] = iters
+         if instanced:
+             out_inst[0] = best_inst
+
+        if culled:
+            pl.when(step_valid | first_chunk)(step_body)
+        else:
+            step_body()
 
     return kernel
 
 
 def _cull_worklists(lo, hi, rays, g, rows):
-    """Per-tile chunk culling: slab-test every ray against every chunk AABB,
-    reduce to a [tiles, C] mask, and compact it into ascending worklists.
-    The TPU analogue of the reference's instance AS (common_shared.h:1059
-    InstanceBVH_T): a tile only traverses chunks some ray of it can enter.
+    """Per-tile chunk culling: slab-test every ray against every chunk
+    AABB and compact the surviving chunks into NEAREST-FIRST worklists
+    (ordered by the tile-min entry distance). The TPU analogue of the
+    reference's instance AS (common_shared.h:1059 InstanceBVH_T): a tile
+    only traverses chunks some ray of it can enter, and the in-kernel
+    step skip truncates the tail once every lane's best t beats the next
+    chunk's entry distance (valid precisely because of this ordering).
 
     rays: [g, 8, tile] packed components. Returns (work [g*C] i32 flat,
-    cnt [g] i32); entries past cnt repeat the last live chunk so the
-    Pallas index map revisits the resident block (no DMA, no work)."""
+    cnt [g] i32, work_near [g*C] f32 entry distances); entries past cnt
+    repeat the last live chunk so the Pallas index map revisits the
+    resident block (no DMA, no work)."""
     n_chunks = lo.shape[0]
     o = rays[:, 0:3]  # [g, 3, tile]
     d = rays[:, 3:6]
@@ -594,23 +624,24 @@ def _cull_worklists(lo, hi, rays, g, rows):
         return 1.0 / jnp.where(jnp.abs(v) < 1e-12, tiny, v)
 
     inv = safe_inv(d)
-    masks = []
+    tile_nears = []
     for c in range(n_chunks):
         t0 = (lo[c][None, :, None] - o) * inv  # [g, 3, tile]
         t1 = (hi[c][None, :, None] - o) * inv
         near = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=1), tmin)
         far = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=1), tmax)
-        masks.append(jnp.any(near <= far, axis=1))  # [g]
-    mask = jnp.stack(masks, axis=1)  # [g, C]
-    cnt = jnp.sum(mask, axis=1).astype(jnp.int32)
-    # live chunks first, ascending (stable sort of the inverted mask);
-    # ascending order preserves the BLAS-sorted layout in instanced mode
-    order = jnp.argsort(~mask, axis=1, stable=True).astype(jnp.int32)
+        tile_nears.append(jnp.min(
+            jnp.where(near <= far, near, jnp.inf), axis=1))  # [g]
+    tile_near = jnp.stack(tile_nears, axis=1)  # [g, C]
+    work = jnp.argsort(tile_near, axis=1).astype(jnp.int32)
+    near_sorted = jnp.take_along_axis(tile_near, work, axis=1)
+    live = jnp.isfinite(near_sorted)
+    cnt = jnp.sum(live, axis=1).astype(jnp.int32)
     last = jnp.take_along_axis(
-        order, jnp.maximum(cnt - 1, 0)[:, None], axis=1)
-    iota = jnp.arange(n_chunks, dtype=jnp.int32)[None]
-    work = jnp.where(iota < cnt[:, None], order, last)
-    return work.reshape(-1), cnt
+        work, jnp.maximum(cnt - 1, 0)[:, None], axis=1)
+    work = jnp.where(live, work, last)
+    work_near = jnp.where(live, near_sorted, 3e38)
+    return work.reshape(-1), cnt, work_near.reshape(-1)
 
 
 @functools.partial(
@@ -624,7 +655,8 @@ def _run(nodes, rays, n_rows_tab, arity, width, max_leaf,
     tile = rows * _LANE
     culled = chunk_lo is not None and n_chunks > 1
     kernel = _make_kernel(n_rows_tab, arity, width, max_leaf, stack_depth,
-                          any_hit, rows, culled=culled, n_chunks=n_chunks)
+                          any_hit, rows, culled=culled, n_chunks=n_chunks,
+                          step_skip=culled)
     out_shape = [
         jax.ShapeDtypeStruct((g, rows, _LANE), jnp.float32),
         jax.ShapeDtypeStruct((g, rows, _LANE), jnp.int32),
@@ -636,20 +668,22 @@ def _run(nodes, rays, n_rows_tab, arity, width, max_leaf,
     # consecutive c steps (the Pallas accumulation pattern); each chunk's
     # node table is DMA'd HBM->VMEM for its steps
     if culled:
-        work, cnt = _cull_worklists(chunk_lo, chunk_hi, rays, g, rows)
+        work, cnt, work_near = _cull_worklists(chunk_lo, chunk_hi, rays,
+                                               g, rows)
         out_block = pl.BlockSpec((1, rows, _LANE),
-                                 lambda i, c, w, n: (i, 0, 0),
+                                 lambda i, c, w, n, wn: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,  # work, cnt
+            num_scalar_prefetch=3,  # work, cnt, work_near
             grid=(g, n_chunks),
             in_specs=[
                 # node table selected by the tile's worklist; padding steps
                 # repeat the previous index -> block revisited, no DMA
                 pl.BlockSpec((1, n_rows_tab, width),
-                             lambda i, c, w, n: (w[i * n_chunks + c], 0, 0),
+                             lambda i, c, w, n, wn:
+                             (w[i * n_chunks + c], 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 8, tile), lambda i, c, w, n: (i, 0, 0),
+                pl.BlockSpec((1, 8, tile), lambda i, c, w, n, wn: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[out_block] * 5,
@@ -659,7 +693,7 @@ def _run(nodes, rays, n_rows_tab, arity, width, max_leaf,
             out_shape=out_shape,
             grid_spec=grid_spec,
             interpret=jax.default_backend() != "tpu",
-        )(work, cnt, nodes, rays)
+        )(work, cnt, work_near, nodes, rays)
     out_block = pl.BlockSpec((1, rows, _LANE), lambda i, c: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     grid_spec = pl.GridSpec(
@@ -875,32 +909,14 @@ def _run_instanced(nodes, blas_ids, transforms, rays, n_rows_tab, arity,
         jax.ShapeDtypeStruct((g, rows, _LANE), jnp.int32),  # instance
     ]
     if culled:
-        # per-tile instance worklists (ascending = still BLAS-sorted, so
-        # consecutive live instances of one BLAS revisit the resident table)
-        work, cnt = _cull_worklists(chunk_lo, chunk_hi, rays, g, rows)
-        out_block = pl.BlockSpec((1, rows, _LANE),
-                                 lambda i, c, w, n, b, tf: (i, 0, 0),
-                                 memory_space=pltpu.VMEM)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,  # work, cnt, blas_ids, transforms
-            grid=(g, n_inst),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, n_rows_tab, width),
-                    lambda i, c, w, n, b, tf: (b[w[i * n_inst + c]], 0, 0),
-                    memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 8, tile),
-                             lambda i, c, w, n, b, tf: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[out_block] * 6,
-        )
-        return pl.pallas_call(
-            kernel,
-            out_shape=out_shape,
-            grid_spec=grid_spec,
-            interpret=jax.default_backend() != "tpu",
-        )(work, cnt, blas_ids, transforms.reshape(-1), nodes, rays)
+        # per-tile instance worklists, nearest-first + in-kernel step
+        # skip (delegates to the shared TLAS pass runner)
+        work, cnt, work_near = _cull_worklists(chunk_lo, chunk_hi, rays,
+                                               g, rows)
+        return _run_instanced_pass(
+            nodes, blas_ids, transforms, rays, work, cnt,
+            n_rows_tab, arity, width, max_leaf, stack_depth, any_hit,
+            rows, n_inst, work_near=work_near)
     out_block = pl.BlockSpec((1, rows, _LANE), lambda i, c, b, tf: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -965,7 +981,8 @@ def _traverse_instanced(acc: InstancedAccel, o, d, t_min, t_max,
     best_tri = flat(best_tri)
     best_chunk = flat(best_chunk)
     inst = jnp.where(best_chunk >= 0,
-                     acc.inst_of_chunk[jnp.maximum(best_chunk, 0)], -1)
+                     jnp.asarray(acc.inst_of_chunk)[
+                         jnp.maximum(best_chunk, 0)], -1)
     hit = HitInfo(
         t=flat(best_t), tri=best_tri, u=flat(best_u), v=flat(best_v),
         hit=best_tri >= 0,
@@ -973,16 +990,258 @@ def _traverse_instanced(acc: InstancedAccel, o, d, t_min, t_max,
     return hit, inst
 
 
+# ---------------------------------------------------------------------------
+# TLAS wavefront — per-RAY instance assignment + ray sorting so each tile's
+# worklist collapses to ~1-2 instances (the tile-level culling above still
+# visits every instance some ray of the 8k-ray tile can enter; a tile spans
+# too much of the scene for that to prune). The TPU analogue of descending
+# the reference's instance AS per ray (common_shared.h:1059 InstanceBVH_T /
+# OptiX IAS): each round every unresolved ray picks its nearest unvisited
+# instance AABB, rays are argsorted by that pick, and the Pallas kernel runs
+# with a tiny static inner grid (max_w) over per-tile unique-instance
+# worklists. Rounds repeat until no ray has an unvisited instance closer
+# than its best hit (usually 1-3 rounds: nearest-first + best_t pruning).
+# ---------------------------------------------------------------------------
+
+
+def _run_instanced_pass(nodes, blas_ids, transforms, rays, work, cnt,
+                        n_rows_tab, arity, width, max_leaf, stack_depth,
+                        any_hit, rows, max_w, work_near=None):
+    """One sorted TLAS pass: grid (tiles, max_w); the node table for step
+    (i, c) is BLAS blas_ids[work[i*max_w+c]]; steps past cnt[i] are no-ops
+    revisiting the resident block. work_near (i32 bits of the f32 entry
+    distances, same layout as work) additionally skips any step whose
+    entry distance exceeds the tile's current worst best-t."""
+    g = rays.shape[0]
+    tile = rows * _LANE
+    step_skip = work_near is not None
+    kernel = _make_kernel(n_rows_tab, arity, width, max_leaf, stack_depth,
+                          any_hit, rows, instanced=True, culled=True,
+                          n_chunks=max_w, step_skip=step_skip)
+    out_shape = [
+        jax.ShapeDtypeStruct((g, rows, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, _LANE), jnp.int32),
+        jax.ShapeDtypeStruct((g, rows, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((g, rows, _LANE), jnp.int32),  # iterations
+        jax.ShapeDtypeStruct((g, rows, _LANE), jnp.int32),  # instance
+    ]
+    n_pref = 5 if step_skip else 4
+
+    def out_ix(i, c, *_):
+        return (i, 0, 0)
+
+    def tab_ix(i, c, w, *rest):
+        b = rest[-2]
+        return (b[w[i * max_w + c]], 0, 0)
+
+    out_block = pl.BlockSpec((1, rows, _LANE), out_ix,
+                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=n_pref,  # work, cnt, [near], blas_ids, tfs
+        grid=(g, max_w),
+        in_specs=[
+            pl.BlockSpec((1, n_rows_tab, width), tab_ix,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tile), out_ix,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_block] * 6,
+    )
+    pref = (work, cnt) + ((work_near,) if step_skip else ()) + (
+        blas_ids, transforms.reshape(-1))
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=jax.default_backend() != "tpu",
+    )(*pref, nodes, rays)
+
+
+def _instance_entry_dists(chunk_lo, chunk_hi, o, d, t_min, t_max):
+    """Entry distance of every ray into every instance's world AABB.
+    Returns [N, C] f32, +inf where the slab test misses (or the ray is a
+    padded no-op with t_max < t_min)."""
+
+    def safe_inv(v):
+        tiny = jnp.where(v < 0, -1e-12, 1e-12)
+        return 1.0 / jnp.where(jnp.abs(v) < 1e-12, tiny, v)
+
+    inv = safe_inv(d)  # [N, 3]
+    t0 = (chunk_lo[None, :, :] - o[:, None, :]) * inv[:, None, :]  # [N,C,3]
+    t1 = (chunk_hi[None, :, :] - o[:, None, :]) * inv[:, None, :]
+    near = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=2),
+                       t_min[:, None])
+    far = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=2),
+                      t_max[:, None])
+    return jnp.where(near <= far, near, jnp.inf)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_rows_tab", "arity", "width", "max_leaf",
+                     "stack_depth", "any_hit", "rows"))
+def _run_tlas_wavefront(nodes, blas_ids, transforms, chunk_lo, chunk_hi,
+                        o, d, t_min, t_max, n_rows_tab, arity, width,
+                        max_leaf, stack_depth, any_hit, rows):
+    """ONE sorted nearest-first pass over instance-sorted rays.
+
+    Rays are argsorted by their nearest-entered instance AABB, then each
+    tile builds a worklist of every instance ANY of its rays can enter
+    (cnt real, padding steps no-op), ordered by the tile-min entry
+    distance. The single Pallas pass walks the worklist with best-hit
+    state carried across steps, so by the time the far chunks come up
+    best_t has collapsed and their root slab tests fail in ~1 step.
+
+    Complete by construction — every chunk a ray can enter within
+    [t_min, t_max] is in its tile's worklist, and distance pruning only
+    skips chunks that cannot beat the current best. Multi-round variants
+    (per-ray or per-tile frontier wavefronts with a lax.while_loop)
+    measured STRICTLY worse on this runtime: each while iteration costs
+    ~100-150 ms of un-pipelined dispatch overhead, and one-candidate-
+    per-ray worklists took 39 rounds on the 74-instance scene. Ray
+    sorting + nearest-first ordering alone gave 510 -> ~120 ms."""
+    n_pad = o.shape[0]  # already tile-padded by the caller
+    n_chunks = blas_ids.shape[0]
+    tile = rows * _LANE
+    g = n_pad // tile
+    # optimization_barrier between stages: without it XLA fuses the
+    # [N, C] entry-distance production into its several consumers
+    # (argmin/sort/gather) and the whole call ran 407 ms vs 132 ms —
+    # the barrier forces one materialization of each stage
+    ob = jax.lax.optimization_barrier
+
+    nears = ob(_instance_entry_dists(chunk_lo, chunk_hi, o, d,
+                                     t_min, t_max))
+
+    # sort rays once by first (nearest) candidate instance
+    first = jnp.argmin(nears, axis=1).astype(jnp.int32)
+    has0 = jnp.isfinite(jnp.min(nears, axis=1))
+    perm = ob(jnp.argsort(jnp.where(has0, first, n_chunks)))
+    nears = ob(nears[perm]).reshape(g, tile, n_chunks)
+    t_min = t_min[perm]
+    t_max = t_max[perm].reshape(g, tile)
+
+    # per-tile worklist: every chunk any ray of the tile enters, ordered
+    # nearest-first by tile-min entry distance — ONE [g, C] argsort (an
+    # iterative masked-argmin chain here was C sequentially-dependent
+    # tiny launches, ~150 ms of dispatch on this runtime). Padding
+    # entries repeat the last live chunk so the index map revisits the
+    # resident block.
+    tile_near = jnp.min(nears, axis=1)  # [g, C]
+    work = jnp.argsort(tile_near, axis=1).astype(jnp.int32)  # [g, C]
+    near_sorted = jnp.take_along_axis(tile_near, work, axis=1)
+    live = jnp.isfinite(near_sorted)
+    cnt = jnp.sum(live, axis=1).astype(jnp.int32)
+    last = jnp.take_along_axis(work, jnp.maximum(cnt - 1, 0)[:, None],
+                               axis=1)
+    work = jnp.where(live, work, last).astype(jnp.int32)
+    # f32 entry distances for the in-kernel step skip (+inf -> big
+    # finite so SMEM compares stay well-defined)
+    work_near = jnp.where(jnp.isfinite(near_sorted), near_sorted, 3e38)
+
+    # rays with no candidate at all carry t_max = -1 (kernel no-op)
+    has = jnp.any(jnp.isfinite(nears), axis=2)
+    rays = jnp.stack([
+        o[:, 0][perm], o[:, 1][perm], o[:, 2][perm],
+        d[:, 0][perm], d[:, 1][perm], d[:, 2][perm],
+        t_min, jnp.where(has, t_max, -1.0).reshape(n_pad),
+    ], axis=0).reshape(8, g, tile).transpose(1, 0, 2)
+    rays, work, cnt, work_near = ob((rays, work, cnt, work_near))
+
+    pt, ptri, pu, pv, _, pchunk = _run_instanced_pass(
+        nodes, blas_ids, transforms, rays, work.reshape(-1), cnt,
+        n_rows_tab, arity, width, max_leaf, stack_depth, any_hit,
+        rows, n_chunks, work_near=work_near.reshape(-1))
+    pt, ptri, pu, pv, pchunk = ob((pt, ptri, pu, pv, pchunk))
+
+    def unperm(x, dtype):
+        return jnp.zeros((n_pad,), dtype).at[perm].set(x.reshape(n_pad))
+
+    # misses carried t_max through the kernel; restore the original value
+    # for no-candidate rays (their tmax was -1)
+    t_out = jnp.where(has, pt.reshape(g, tile), t_max).reshape(n_pad)
+    return (unperm(t_out.reshape(g, tile), jnp.float32),
+            unperm(ptri, jnp.int32),
+            unperm(pu, jnp.float32), unperm(pv, jnp.float32),
+            unperm(pchunk, jnp.int32), jnp.ones((), jnp.int32))
+
+
+def _traverse_instanced_tlas(acc: InstancedAccel, o, d, t_min, t_max,
+                             any_hit: bool, rows: int = ROWS,
+                             with_rounds: bool = False, **_compat):
+    n_rays = o.shape[0]
+    tile = rows * _LANE
+    g = -(-n_rays // tile)
+    n_pad = g * tile
+    stack_depth = int(acc.max_depth + 2) * max(acc.arity - 1, 1)
+
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_rays,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_rays,))
+
+    def pad(x, fill):
+        if x.shape[0] == n_pad:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((n_pad - x.shape[0],) + x.shape[1:], fill, x.dtype)]
+        )
+
+    o_p = jnp.stack([pad(o[:, 0], 0.0), pad(o[:, 1], 0.0),
+                     pad(o[:, 2], 0.0)], axis=1)
+    d_p = jnp.stack([pad(d[:, 0], 1.0), pad(d[:, 1], 0.0),
+                     pad(d[:, 2], 0.0)], axis=1)
+
+    best_t, best_tri, best_u, best_v, best_chunk, rounds = \
+        _run_tlas_wavefront(
+        acc.nodes, acc.blas_ids, acc.inv_transforms,
+        acc.chunk_lo, acc.chunk_hi,
+        o_p, d_p, pad(t_min, 0.0), pad(t_max, -1.0),
+        n_rows_tab=acc.nodes.shape[1], arity=acc.arity, width=acc.width,
+        max_leaf=acc.max_leaf, stack_depth=stack_depth, any_hit=any_hit,
+        rows=rows)
+    flat = lambda x: x[:n_rays]
+    best_tri = flat(best_tri)
+    best_chunk = flat(best_chunk)
+    inst = jnp.where(best_chunk >= 0,
+                     jnp.asarray(acc.inst_of_chunk)[
+                         jnp.maximum(best_chunk, 0)], -1)
+    hit = HitInfo(
+        t=flat(best_t), tri=best_tri, u=flat(best_u), v=flat(best_v),
+        hit=best_tri >= 0,
+    )
+    if with_rounds:
+        return hit, inst, rounds
+    return hit, inst
+
+
 def intersect_closest_instanced(acc: InstancedAccel, o, d, t_min=1e-4,
-                                t_max=1e30, rows: int = ROWS):
+                                t_max=1e30, rows: int = ROWS,
+                                tlas: bool = False):
     """Closest hit through the two-level structure. Returns
-    (HitInfo with GLOBAL blas-triangle ids, instance id per ray, -1 miss)."""
+    (HitInfo with GLOBAL blas-triangle ids, instance id per ray, -1 miss).
+
+    The default path runs per-tile nearest-first instance worklists with
+    an in-kernel distance step-skip (a TLAS analogue at tile
+    granularity). tlas=True additionally argsorts RAYS by nearest
+    instance before the pass — measured neutral-to-slower on the 74-
+    instance bench scene (the sort/permute glue costs more than the
+    extra coherence buys), kept for A/B on scenes with more instances."""
+    if tlas and getattr(acc, "chunk_lo", None) is not None \
+            and acc.num_instances > 1:
+        return _traverse_instanced_tlas(acc, o, d, t_min, t_max,
+                                        any_hit=False, rows=rows)
     return _traverse_instanced(acc, o, d, t_min, t_max, any_hit=False,
                                rows=rows)
 
 
 def intersect_any_instanced(acc: InstancedAccel, o, d, t_min=1e-4,
-                            t_max=1e30, rows: int = ROWS):
+                            t_max=1e30, rows: int = ROWS,
+                            tlas: bool = False):
+    if tlas and getattr(acc, "chunk_lo", None) is not None \
+            and acc.num_instances > 1:
+        hit, _ = _traverse_instanced_tlas(acc, o, d, t_min, t_max,
+                                          any_hit=True, rows=rows)
+        return hit.hit
     hit, _ = _traverse_instanced(acc, o, d, t_min, t_max, any_hit=True,
                                  rows=rows)
     return hit.hit

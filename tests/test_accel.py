@@ -319,3 +319,58 @@ def test_instanced_matches_flattened_bruteforce(rng_np):
     assert np.array_equal(np.asarray(hit.tri)[m_hit], best_key[m_hit, 1])
     occ = intersect_any_instanced(acc, jnp.asarray(o), jnp.asarray(d))
     assert np.array_equal(np.asarray(occ), m_hit)
+
+
+def test_tlas_wavefront_matches_dense_grid(rng_np):
+    """The sorted single-pass TLAS driver must agree with the dense
+    (tiles x instances) grid on a scene with many instances and long
+    grazing rays that enter a whole row of instance AABBs before
+    hitting — the case where nearest-first worklist ordering and the
+    per-tile candidate union have to be exactly complete."""
+    from gfxexp_tpu.accel.pallas_widestack import (
+        _traverse_instanced,
+        _traverse_instanced_tlas,
+        build_instanced,
+    )
+
+    p0, p1, p2 = _random_tri_soup(rng_np, 40, spread=0.5)
+
+    # a 4x4 grid of instances of one BLAS: grazing rays along +x cross
+    # up to 4 AABBs in near order
+    instances = []
+    for gx in range(4):
+        for gz in range(4):
+            m = np.zeros((3, 4), np.float32)
+            m[0, 0] = m[1, 1] = m[2, 2] = 1.0
+            m[:, 3] = [gx * 2.5, 0.0, gz * 2.5]
+            instances.append((0, m))
+    acc, perms = build_instanced([(p0, p1 - p0, p2 - p0)], instances)
+
+    n_rays = 500
+    o = np.empty((n_rays, 3), np.float32)
+    d = np.empty((n_rays, 3), np.float32)
+    # half: grazing rays marching down the instance rows (+x)
+    h = n_rays // 2
+    o[:h] = rng_np.uniform(-4, 0, size=(h, 3)).astype(np.float32)
+    o[:h, 1] *= 0.2
+    d[:h] = np.array([1.0, 0.0, 0.0]) + rng_np.normal(
+        scale=0.05, size=(h, 3))
+    # half: random
+    o[h:] = rng_np.uniform(-4, 12, size=(n_rays - h, 3)).astype(np.float32)
+    d[h:] = rng_np.normal(size=(n_rays - h, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+
+    hd, id_d = _traverse_instanced(acc, oj, dj, 1e-4, 1e30, any_hit=False)
+    ht, id_t = _traverse_instanced_tlas(acc, oj, dj, 1e-4, 1e30,
+                                        any_hit=False)
+    assert np.array_equal(np.asarray(hd.hit), np.asarray(ht.hit))
+    m = np.asarray(hd.hit)
+    assert np.allclose(np.asarray(hd.t)[m], np.asarray(ht.t)[m],
+                       rtol=1e-5)
+    assert np.array_equal(np.asarray(hd.tri)[m], np.asarray(ht.tri)[m])
+    assert np.array_equal(np.asarray(id_d)[m], np.asarray(id_t)[m])
+
+    ha, _ = _traverse_instanced(acc, oj, dj, 1e-4, 1e30, any_hit=True)
+    hat, _ = _traverse_instanced_tlas(acc, oj, dj, 1e-4, 1e30, any_hit=True)
+    assert np.array_equal(np.asarray(ha.hit), np.asarray(hat.hit))
