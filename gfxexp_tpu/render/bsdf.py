@@ -283,16 +283,22 @@ def material_params(materials, mat_idx) -> BSDFParams:
     )
 
 
-def material_params_textured(materials, atlas, mat_idx, uv) -> BSDFParams:
+def material_params_textured(materials, atlas, mat_idx, uv,
+                             lod=None) -> BSDFParams:
     """BSDFParams with texture fetches where the material's texture slot is
     set (reference: BSDF::setup texture sampling, common_device.cuh:830+);
-    atlas None falls back to constants."""
+    atlas None falls back to constants. `lod` [R] selects a trilinear
+    mip fetch when the atlas carries a mip chain (reference: mipmapped
+    cudau::Array sampling, cuda_util.h:897)."""
     base = material_params(materials, mat_idx)
     if atlas is None or getattr(atlas, "count", 0) == 0:
         return base
-    from gfxexp_tpu.scene.textures import sample_bilinear
+    from gfxexp_tpu.scene.textures import sample_bilinear, sample_trilinear
 
     tid = materials.diffuse_tex[mat_idx]
-    texel = sample_bilinear(atlas, tid, uv)
+    if lod is not None and getattr(atlas, "mip_flat", None) is not None:
+        texel = sample_trilinear(atlas, tid, uv, lod)
+    else:
+        texel = sample_bilinear(atlas, tid, uv)
     diffuse = jnp.where((tid >= 0)[:, None], texel[:, :3], base.diffuse)
     return base.replace(diffuse=diffuse)

@@ -95,6 +95,10 @@ class PTConfig:
     # displaced geometry (scene.displaced): trace shadow rays against it too
     # (self-shadowing); costs one narrow-phase pass per NEE
     displaced_shadows: bool = True
+    # trilinear mip LOD for material textures, selected by a pixel-footprint
+    # distance heuristic (reference: mipmapped cudau::Array sampling,
+    # cuda_util.h:897). Requires SceneBuilder(texture_mips=True).
+    texture_lod: bool = False
 
     @property
     def use_mis(self):
@@ -114,31 +118,41 @@ class SurfacePoint:
     unit: jnp.ndarray  # [R] int32
     material: jnp.ndarray  # [R] int32
     emittance: jnp.ndarray  # [R, 3]
+    # sqrt(uv_area / world_area): texels-per-world-unit factor for mip LOD
+    # selection (None when the packed table predates the column)
+    texel_density: jnp.ndarray = None
 
 
 def pack_tri_attrs(tris, scene: SceneData = None) -> jnp.ndarray:
-    """Concatenate the per-triangle shading attributes into one [T, 26] row
+    """Concatenate the per-triangle shading attributes into one [T, 27] row
     table so compute_surface_point costs ONE row gather instead of ten
     scattered [T,3]/[T,2] gathers (measured 5.0 -> 1.7 ms per 262k lanes on
     v5e). Col 24 is the bitcast unit id; col 25 (when `scene` is given and
     non-instanced) is the hypothetical NEE area pdf of the triangle
     (unit_pmf * tri_pmf / area) for one-gather implicit-hit MIS
-    (reference: computeHypotheticalAreaPDensity). Built inside jit from the
-    traced scene arrays — a 16k x 26 concat is negligible and the caller
-    hoists it once per frame (render_lanes)."""
+    (reference: computeHypotheticalAreaPDensity); col 26 is the texel
+    density for mip LOD selection. Built inside jit from the traced scene
+    arrays — a 16k x 27 concat is negligible and the caller hoists it once
+    per frame (render_lanes)."""
     cols = [
         tris.p0, tris.e1, tris.e2, tris.n0, tris.n1, tris.n2,
         tris.uv0, tris.uv1, tris.uv2,
         jax.lax.bitcast_convert_type(tris.unit_id, jnp.float32)[:, None],
     ]
+    cr_len = jnp.linalg.norm(jnp.cross(tris.e1, tris.e2), axis=-1)
     if scene is not None and not scene.is_instanced:
-        cr_len = jnp.linalg.norm(jnp.cross(tris.e1, tris.e2), axis=-1)
         rec_area = 2.0 / jnp.maximum(cr_len, 1e-20)
         pdf = (scene.light_unit_pmf[tris.unit_id]
                * scene.units.light_tri_pmf * rec_area)
         cols.append(pdf[:, None])
     else:
         cols.append(jnp.zeros((tris.p0.shape[0], 1), jnp.float32))
+    # col 26: texel density sqrt(uv_area / world_area) for mip LOD
+    # (uv_area = |det(duv)|/2, world_area = |e1 x e2|/2)
+    duv1 = tris.uv1 - tris.uv0
+    duv2 = tris.uv2 - tris.uv0
+    uv_det = jnp.abs(duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0])
+    cols.append(jnp.sqrt(uv_det / jnp.maximum(cr_len, 1e-20))[:, None])
     return jnp.concatenate(cols, axis=1)
 
 
@@ -190,6 +204,7 @@ def compute_surface_point(scene: SceneData, tri_idx, u, v,
     fallback, _ = make_frame(sn)
     tan = jnp.where(degenerate[..., None], fallback, tan)
     tan = normalize(tan - jnp.sum(tan * sn, axis=-1, keepdims=True) * sn)
+    texel_density = rows[:, 26] if rows.shape[1] > 26 else None
     unit_id = jax.lax.bitcast_convert_type(rows[:, 24], jnp.int32)
     if scene.is_instanced:
         unit = scene.inst_unit_base[insti] + unit_id
@@ -212,6 +227,7 @@ def compute_surface_point(scene: SceneData, tri_idx, u, v,
         unit=unit,
         material=mat,
         emittance=emit,
+        texel_density=texel_density,
     )
 
 
@@ -589,8 +605,24 @@ def render_lanes(
                     pixel, lane_ids, rays_traced, nee_aux)
 
         # ---- NEE ---------------------------------------------------------
+        lod = None
+        if (cfg.texture_lod and scene.textures is not None
+                and getattr(scene.textures, "mip_flat", None) is not None
+                and sp.texel_density is not None):
+            # pixel-footprint heuristic: world-space footprint of one pixel
+            # at distance t, projected by the grazing angle, converted to
+            # texels via the triangle's uv density (ray differentials
+            # degenerate to this for primary rays; bounces reuse the last
+            # segment's distance)
+            pixel_angle = 2.0 * jnp.tan(camera.fov_y * 0.5) / height
+            cosg = jnp.abs(jnp.sum(v_out * sp.geom_normal, axis=-1))
+            S = scene.textures.layers.shape[1]
+            footprint = hit.t * pixel_angle / jnp.maximum(cosg, 0.1)
+            lod = jnp.log2(jnp.maximum(
+                footprint * sp.texel_density * S, 1.0))
         params = material_params_textured(
-            scene.materials, scene.textures, sp.material, sp.texcoord)
+            scene.materials, scene.textures, sp.material, sp.texcoord,
+            lod=lod)
         if cfg.mollify_specular and not first:
             # smoothness *= 0.5 <=> roughness -> 1 - 0.5*(1 - roughness)
             params = params.replace(

@@ -90,7 +90,7 @@ class SceneBuilder:
     """Accumulates materials / geometries / instances, then `compile()`s to a
     device SceneData pytree."""
 
-    def __init__(self):
+    def __init__(self, texture_mips: bool = False):
         from gfxexp_tpu.scene.textures import AtlasBuilder
 
         self.materials: List[HostMaterial] = []
@@ -99,7 +99,9 @@ class SceneBuilder:
         self.env_radiance: Optional[np.ndarray] = None  # [H, W, 3]
         self.env_power: float = 1.0
         self.env_rotation: float = 0.0
-        self.atlas = AtlasBuilder()
+        # texture_mips=True builds per-layer mip chains so the integrator
+        # can sample trilinearly with a per-lane LOD (PTConfig.texture_lod)
+        self.atlas = AtlasBuilder(mips=texture_mips)
         self._texture_cache: dict = {}
         self.displaced_geoms: List[tuple] = []
 

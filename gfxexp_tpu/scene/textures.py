@@ -27,10 +27,19 @@ ATLAS_SIZE = 512  # layer resolution (loads are resampled to this)
 
 @fstruct.dataclass
 class TextureAtlas:
-    """All scene textures in one gatherable stack."""
+    """All scene textures in one gatherable stack.
 
-    layers: jnp.ndarray  # [N, S, S, 4] float32 linear
+    When built with mips, `mip_flat` packs every level of every layer into
+    one flat texel array (level l of layer n spans
+    mip_flat[n, mip_offsets[l] : mip_offsets[l] + (S>>l)^2]) so a per-lane
+    DYNAMIC mip level is a plain address computation + gather — the TPU
+    analogue of the reference's mipmapped CUDA arrays (cuda_util.h:897)."""
+
+    layers: jnp.ndarray  # [N, S, S, 4] float32 linear (level 0)
     count: int = fstruct.field(pytree_node=False, default=0)
+    mip_flat: jnp.ndarray = None  # [N, sum_l (S>>l)^2, 4] or None
+    mip_offsets: jnp.ndarray = None  # [L] int32 texel offsets per level
+    n_levels: int = fstruct.field(pytree_node=False, default=0)
 
 
 def empty_atlas() -> TextureAtlas:
@@ -39,8 +48,9 @@ def empty_atlas() -> TextureAtlas:
 
 
 class AtlasBuilder:
-    def __init__(self, size: int = ATLAS_SIZE):
+    def __init__(self, size: int = ATLAS_SIZE, mips: bool = False):
         self.size = size
+        self.mips = mips
         self.images: List[np.ndarray] = []
 
     def add(self, image: np.ndarray) -> int:
@@ -62,9 +72,25 @@ class AtlasBuilder:
     def build(self) -> TextureAtlas:
         if not self.images:
             return empty_atlas()
+        stack = np.stack(self.images)
+        if not self.mips:
+            return TextureAtlas(layers=jnp.asarray(stack),
+                                count=len(self.images))
+        # full average mip chain per layer, flattened level-major
+        levels = [stack]
+        while levels[-1].shape[1] > 1:
+            m = levels[-1]
+            levels.append(0.25 * (m[:, 0::2, 0::2] + m[:, 1::2, 0::2]
+                                  + m[:, 0::2, 1::2] + m[:, 1::2, 1::2]))
+        offsets = np.cumsum([0] + [lv.shape[1] * lv.shape[2]
+                                   for lv in levels[:-1]])
+        flat = np.concatenate(
+            [lv.reshape(lv.shape[0], -1, 4) for lv in levels], axis=1)
         return TextureAtlas(
-            layers=jnp.asarray(np.stack(self.images)),
-            count=len(self.images),
+            layers=jnp.asarray(stack), count=len(self.images),
+            mip_flat=jnp.asarray(flat.astype(np.float32)),
+            mip_offsets=jnp.asarray(offsets, jnp.int32),
+            n_levels=len(levels),
         )
 
 
@@ -114,6 +140,55 @@ def sample_bilinear(atlas: TextureAtlas, tex_id, uv):
         + l[layer, y1w, x0w] * fy * (1 - fx)
         + l[layer, y1w, x1w] * fy * fx
     )
+
+
+def _sample_mip_level(atlas: TextureAtlas, layer, uv, level):
+    """Bilinear sample at integer mip `level` [R] from the flat mip pack.
+    Wrap addressing; per-lane dynamic level (address arithmetic + gather)."""
+    S = atlas.layers.shape[1]
+    s = (S >> jnp.clip(level, 0, atlas.n_levels - 1)).astype(jnp.int32)
+    base = atlas.mip_offsets[jnp.clip(level, 0, atlas.n_levels - 1)]
+    sf = s.astype(jnp.float32)
+    u = uv[:, 0] % 1.0
+    v = (1.0 - uv[:, 1] % 1.0) % 1.0
+    x = u * sf - 0.5
+    y = v * sf - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    x0w = x0 % s
+    y0w = y0 % s
+    x1w = (x0 + 1) % s
+    y1w = (y0 + 1) % s
+    f = atlas.mip_flat
+
+    def tex(yw, xw):
+        return f[layer, base + yw * s + xw]
+
+    return (tex(y0w, x0w) * (1 - fy) * (1 - fx)
+            + tex(y0w, x1w) * (1 - fy) * fx
+            + tex(y1w, x0w) * fy * (1 - fx)
+            + tex(y1w, x1w) * fy * fx)
+
+
+def sample_trilinear(atlas: TextureAtlas, tex_id, uv, lod):
+    """Trilinear (mipmapped) sampling: bilinear at floor/ceil mip levels,
+    blended by the fractional LOD (reference: mipmapped cudau::Array +
+    hardware trilinear filtering, cuda_util.h:897). Falls back to plain
+    bilinear when the atlas carries no mip chain. lod: [R] float32 (0 =
+    full resolution)."""
+    if atlas.mip_flat is None or atlas.n_levels <= 1:
+        return sample_bilinear(atlas, tex_id, uv)
+    layer = jnp.clip(tex_id, 0, max(atlas.count - 1, 0))
+    lod = jnp.clip(jnp.asarray(lod, jnp.float32), 0.0,
+                   float(atlas.n_levels - 1))
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    f = (lod - l0.astype(jnp.float32))[:, None]
+    c0 = _sample_mip_level(atlas, layer, uv, l0)
+    c1 = _sample_mip_level(atlas, layer, uv, jnp.minimum(
+        l0 + 1, atlas.n_levels - 1))
+    return c0 * (1.0 - f) + c1 * f
 
 
 def build_mip_pyramid(image: np.ndarray) -> List[np.ndarray]:
@@ -188,7 +263,9 @@ def normal_from_height_map(atlas: TextureAtlas, tex_id, uv,
 _DDS_MAGIC = 0x20534444
 _FOURCC = {b"DXT1": "BC1", b"DXT3": "BC2", b"DXT5": "BC3", b"BC4U": "BC4", b"ATI1": "BC4",
            b"BC5U": "BC5", b"ATI2": "BC5", b"DX10": "DX10"}
-_DXGI_TO_BC = {71: "BC1", 74: "BC2", 77: "BC3", 80: "BC4", 83: "BC5", 95: "BC6H", 98: "BC7"}
+_DXGI_TO_BC = {71: "BC1", 72: "BC1", 74: "BC2", 75: "BC2", 77: "BC3",
+               78: "BC3", 80: "BC4", 83: "BC5", 95: "BC6H", 98: "BC7",
+               99: "BC7"}
 
 
 def load_dds(path: str) -> np.ndarray:
@@ -211,8 +288,14 @@ def load_dds(path: str) -> np.ndarray:
             off = 148
     if fmt is None:
         raise ValueError(f"{path}: unsupported DDS format {fourcc!r}")
-    if fmt in ("BC6H", "BC7"):
-        raise ValueError(f"{path}: {fmt} decode not implemented")
+    if fmt == "BC7":
+        from gfxexp_tpu.scene.bc67 import decode_bc7
+
+        return decode_bc7(data, off, width, height)
+    if fmt == "BC6H":
+        from gfxexp_tpu.scene.bc67 import decode_bc6h
+
+        return decode_bc6h(data, off, width, height)
     return _decode_bc(data, off, width, height, fmt)
 
 

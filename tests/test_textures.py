@@ -233,3 +233,260 @@ def test_bc2_decode():
     assert np.allclose(out[..., 0], 1.0, atol=0.04)  # red everywhere
     flat_a = out[..., 3].reshape(16)
     assert np.allclose(flat_a, np.arange(16) / 15.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# BC7 / BC6H (scene/bc67.py)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.v = 0
+        self.pos = 0
+
+    def put(self, val, n):
+        self.v |= (int(val) & ((1 << n) - 1)) << self.pos
+        self.pos += n
+
+    def block(self):
+        assert self.pos <= 128, self.pos
+        return self.v.to_bytes(16, "little")
+
+
+def test_bc7_mode6_constant_and_gradient():
+    from gfxexp_tpu.scene.bc67 import decode_bc7_block
+
+    # constant: both endpoints 0x55 (7-bit) with P=1 -> expand8(0xAB, 8)
+    bw = _BitWriter()
+    bw.put(1 << 6, 7)  # mode 6 marker (bit 6 set)
+    for _ in range(8):  # R,G,B,A x 2 endpoints, 7 bits each
+        bw.put(0x55, 7)
+    bw.put(1, 1)
+    bw.put(1, 1)  # P bits
+    bw.put(0, 3)  # anchor texel 0: 3 index bits
+    for _ in range(15):
+        bw.put(0, 4)
+    out = decode_bc7_block(bw.block())
+    assert np.allclose(out, 0xAB / 255.0)
+
+    # gradient: e0=0 (P=0) -> 0, e1=127 (P=1) -> 255; index k at texel k%16
+    bw = _BitWriter()
+    bw.put(1 << 6, 7)
+    for _ in range(4):
+        bw.put(0, 7)
+        bw.put(127, 7)
+    bw.put(0, 1)
+    bw.put(1, 1)
+    bw.put(0, 3)
+    for t in range(1, 16):
+        bw.put(t, 4)
+    out = decode_bc7_block(bw.block())
+    w4 = [0, 4, 9, 13, 17, 21, 26, 30, 34, 38, 43, 47, 51, 55, 60, 64]
+    exp = np.array([((64 - w) * 0 + w * 255 + 32) >> 6 for w in w4],
+                   np.float32) / 255.0
+    assert np.allclose(out, exp[:, None] * np.ones((16, 4), np.float32))
+
+
+def test_bc7_mode5_rotation():
+    from gfxexp_tpu.scene.bc67 import decode_bc7_block
+
+    # rotation=1 swaps R and A after interpolation. RGB endpoints = 0x7F
+    # (7-bit max -> 255), alpha endpoints = 0x40 (8-bit, stays 0x40).
+    bw = _BitWriter()
+    bw.put(1 << 5, 6)  # mode 5
+    bw.put(1, 2)  # rotation: swap A,R
+    for _ in range(6):
+        bw.put(0x7F, 7)  # RGB endpoints
+    bw.put(0x40, 8)
+    bw.put(0x40, 8)  # alpha endpoints
+    bw.put(0, 1)  # color anchor
+    for _ in range(15):
+        bw.put(0, 2)
+    bw.put(0, 1)  # alpha anchor
+    for _ in range(15):
+        bw.put(0, 2)
+    out = decode_bc7_block(bw.block())
+    # R channel now carries the alpha value and vice versa
+    assert np.allclose(out[:, 0], 0x40 / 255.0)
+    assert np.allclose(out[:, 1], 1.0)
+    assert np.allclose(out[:, 2], 1.0)
+    assert np.allclose(out[:, 3], 1.0)
+
+
+def test_bc7_mode1_two_subsets():
+    from gfxexp_tpu.scene.bc67 import decode_bc7_block
+
+    # partition 0 (left half subset 0, right half subset 1 per 0xCCCC),
+    # subset 0 endpoints = 0 -> black, subset 1 endpoints = 63 (6-bit max,
+    # shared P=1 -> 127 -> 255) -> white; all indices 0
+    bw = _BitWriter()
+    bw.put(1 << 1, 2)  # mode 1
+    bw.put(0, 6)  # partition 0
+    for _ in range(3):  # R, G, B channel-major
+        bw.put(0, 6)
+        bw.put(0, 6)  # subset 0
+        bw.put(63, 6)
+        bw.put(63, 6)  # subset 1
+    bw.put(0, 1)
+    bw.put(1, 1)  # shared P per subset
+    # indices: texel 0 anchored (2 bits), texel 15 anchored (2 bits)
+    for t in range(16):
+        anchored = t in (0, 15)
+        bw.put(0, 2 if anchored else 3)
+    out = decode_bc7_block(bw.block())
+    pat = [0, 0, 1, 1] * 4
+    exp = np.array([[p * 1.0] * 3 + [1.0] for p in pat], np.float32)
+    assert np.allclose(out, exp)
+
+
+def test_bc6h_mode3_constant():
+    from gfxexp_tpu.scene.bc67 import decode_bc6h_block
+
+    # mode value 0x03 (10.10, untransformed, one subset): e0 == e1 == q
+    # -> every texel = half_bits((unquantize(q) * 31) >> 6)
+    q = 0x155
+    bw = _BitWriter()
+    bw.put(0x03, 5)
+    for _ in range(2):
+        for _ in range(3):
+            bw.put(q, 10)
+    bw.put(0, 3)  # anchor texel 0: 3 bits
+    for _ in range(15):
+        bw.put(0, 4)
+    out = decode_bc6h_block(bw.block())
+    unq = ((q << 16) + 0x8000) >> 10
+    half = np.frombuffer(
+        np.uint16((unq * 31) >> 6).tobytes(), np.float16)[0]
+    assert np.allclose(out, np.float32(half))
+    assert out.shape == (16, 3)
+
+
+def test_bc6h_mode0_delta_zero():
+    from gfxexp_tpu.scene.bc67 import decode_bc6h_block
+
+    # mode 0 (10.555 transformed, 2 subsets): all deltas 0 -> constant
+    # equal to the base endpoint everywhere regardless of partition
+    q = 0x2A7
+    bw = _BitWriter()
+    bw.put(0x00, 2)
+    bw.put(0, 3)  # g2[4], b2[4], b3[4]
+    bw.put(q, 10)
+    bw.put(q, 10)
+    bw.put(q, 10)  # r0 g0 b0
+    # r1(5) g3[4] g2[3:0] g1(5) b3[0] g3[3:0] b1(5) b3[1] b2[3:0]
+    # r2(5) b3[2] r3(5) b3[3] -- all zero deltas
+    bw.put(0, 5 + 1 + 4 + 5 + 1 + 4 + 5 + 1 + 4 + 5 + 1 + 5 + 1)
+    bw.put(7, 5)  # partition 7 (arbitrary)
+    # indices: anchors at texel 0 and _ANCHOR2[7]=15 -> 2 bits each
+    for t in range(16):
+        bw.put(0, 2 if t in (0, 15) else 3)
+    out = decode_bc6h_block(bw.block())
+    unq = ((q << 16) + 0x8000) >> 10
+    half = np.frombuffer(
+        np.uint16((unq * 31) >> 6).tobytes(), np.float16)[0]
+    assert np.allclose(out, np.float32(half))
+
+
+def test_dds_bc7_roundtrip(tmp_path):
+    """BC7 DDS via the DX10 header path decodes through load_dds."""
+    import struct
+
+    from gfxexp_tpu.scene.textures import load_dds
+
+    bw = _BitWriter()
+    bw.put(1 << 6, 7)
+    for _ in range(8):
+        bw.put(0x55, 7)
+    bw.put(1, 1)
+    bw.put(1, 1)
+    bw.put(0, 3)
+    for _ in range(15):
+        bw.put(0, 4)
+    block = bw.block()
+
+    w = h = 4
+    header = struct.pack("<I", 0x20534444)
+    header += struct.pack("<I", 124)
+    header += struct.pack("<I", 0x1007)
+    header += struct.pack("<II", h, w)
+    header += b"\x00" * (76 - len(header))
+    pf = struct.pack("<II4s", 32, 0x4, b"DX10") + b"\x00" * 20
+    header += pf
+    header += b"\x00" * (128 - len(header))
+    dx10 = struct.pack("<IIIII", 98, 3, 0, 1, 0)  # BC7_UNORM, tex2d
+    path = tmp_path / "t7.dds"
+    path.write_bytes(header + dx10 + block)
+    img = load_dds(str(path))
+    assert img.shape == (4, 4, 4)
+    assert np.allclose(img, 0xAB / 255.0)
+
+
+def test_trilinear_mip_sampling():
+    """Level-k trilinear samples must equal the level-k average: a 1-texel
+    checkerboard averages to 0.5 grey at mip 1+, stays binary at mip 0."""
+    from gfxexp_tpu.scene.textures import AtlasBuilder, sample_trilinear
+
+    s = 16
+    check = ((np.indices((s, s)).sum(0)) % 2).astype(np.float32)
+    tex = np.stack([check] * 3, axis=-1)
+    ab = AtlasBuilder(size=s, mips=True)
+    tid = ab.add(tex)
+    atlas = ab.build()
+    assert atlas.n_levels == 5  # 16, 8, 4, 2, 1
+    uv = jnp.asarray([[0.5 / s, 1.0 - 0.5 / s], [3.5 / s, 1.0 - 2.5 / s]],
+                     jnp.float32)
+    tids = jnp.asarray([tid, tid])
+    # lod 0: exact texel values (texel centers)
+    out0 = np.asarray(sample_trilinear(atlas, tids, uv, jnp.zeros(2)))
+    assert np.allclose(out0[0, :3], check[0, 0], atol=1e-5)
+    assert np.allclose(out0[1, :3], check[2, 3], atol=1e-5)
+    # lod >= 1: every 2x2 block of the checkerboard averages to 0.5
+    out1 = np.asarray(sample_trilinear(atlas, tids, uv, jnp.full(2, 1.0)))
+    assert np.allclose(out1[:, :3], 0.5, atol=1e-5)
+    # fractional lod blends the two levels
+    outh = np.asarray(sample_trilinear(atlas, tids, uv, jnp.full(2, 0.5)))
+    assert np.allclose(outh, 0.5 * (out0 + out1), atol=1e-5)
+    # top level = global mean
+    outt = np.asarray(sample_trilinear(atlas, tids, uv, jnp.full(2, 4.0)))
+    assert np.allclose(outt[:, :3], 0.5, atol=1e-5)
+
+
+def test_texture_lod_render():
+    """PTConfig.texture_lod renders a distant checkered floor without the
+    structured aliasing the non-mipped path shows: the far half of the
+    image converges toward the 0.5-grey texture mean."""
+    from gfxexp_tpu.scene.builder import HostMaterial
+    from gfxexp_tpu.scene.textures import ATLAS_SIZE
+
+    b = SceneBuilder(texture_mips=True)
+    s = ATLAS_SIZE
+    check = (np.indices((s, s)).sum(0) % 2).astype(np.float32)  # 1-texel
+    tex = np.stack([check] * 3, axis=-1)
+    tid = b.add_texture(tex)
+    mat = b.add_material(HostMaterial(diffuse_color=(1, 1, 1),
+                                      diffuse_tex=tid))
+    light = b.add_lambert_material((0, 0, 0), emittance=(50.0,) * 3)
+    floor = b.add_rectangle(40.0, 40.0, mat)
+    b.add_instance(floor)
+    flip = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float64)
+    lamp = b.add_rectangle(2.0, 2.0, light)
+    b.add_instance(lamp, affine(rotation=flip, translation=[0, 6.0, 0]))
+    scene, bvh = compile_scene(b)
+    assert scene.textures.mip_flat is not None
+    cam = make_camera([0, 0.6, 9.5], fov_y=np.deg2rad(55), aspect=1.0,
+                      target=[0, 0, 0])
+    cfg = PTConfig(max_path_length=2, texture_lod=True)
+    img = np.asarray(render_sample(scene, bvh, cam, 32, 32, jnp.uint32(3),
+                                   cfg)).reshape(32, 32, 3)
+    # the floor occupies the lower image; at this distance every pixel
+    # footprint spans many texels -> mipped samples sit near the mean, so
+    # the relative spread across floor pixels is small
+    floor_px = img[22:30, 4:-4].mean(-1)
+    assert floor_px.std() / max(floor_px.mean(), 1e-6) < 0.25
+    # sanity: same scene WITHOUT lod keeps the binary checker -> high spread
+    img0 = np.asarray(render_sample(scene, bvh, cam, 32, 32, jnp.uint32(3),
+                                    PTConfig(max_path_length=2)))
+    floor0 = img0.reshape(32, 32, 3)[22:30, 4:-4].mean(-1)
+    assert floor0.std() / max(floor0.mean(), 1e-6) > \
+        1.5 * floor_px.std() / max(floor_px.mean(), 1e-6)
