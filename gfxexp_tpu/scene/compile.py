@@ -54,11 +54,17 @@ def apply_triangle_permutation(scene: SceneData, perm: np.ndarray) -> SceneData:
 def compile_scene(
     builder: SceneBuilder, arity: int = 4, max_leaf: int = 4,
     traversal: str = "skip", use_probability_texture: bool = False,
+    spatial_splits: bool = False,
 ):
     """traversal="skip" (default) produces the stackless SkipBVH;
     traversal="widerow" produces the packed row table for the ordered-stack
     Pallas kernel (accel/pallas_widestack.py — the fast TPU path);
-    traversal="wide" produces the stack-based wide BVH."""
+    traversal="wide" produces the stack-based wide BVH.
+
+    spatial_splits=True builds with SBVH spatial splits (reference:
+    bvh_builder.cpp:313): straddling triangles are clipped into multiple
+    leaves; the permuted triangle arrays then carry duplicates (hits may
+    report either copy — identical shading attributes)."""
     if traversal == "instanced":
         # two-level BLAS/instance mode (GAS/IAS analogue): the builder
         # produces object-space shared tables + the InstancedAccel directly
@@ -73,6 +79,7 @@ def compile_scene(
             np.asarray(scene.triangles.e1),
             np.asarray(scene.triangles.e2),
             arity=arity, max_leaf=max_leaf,
+            spatial_splits=spatial_splits,
         )
         return apply_triangle_permutation(scene, perm), wrow
     bvh, perm = build_bvh(

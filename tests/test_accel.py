@@ -374,3 +374,74 @@ def test_tlas_wavefront_matches_dense_grid(rng_np):
     ha, _ = _traverse_instanced(acc, oj, dj, 1e-4, 1e30, any_hit=True)
     hat, _ = _traverse_instanced_tlas(acc, oj, dj, 1e-4, 1e30, any_hit=True)
     assert np.array_equal(np.asarray(ha.hit), np.asarray(hat.hit))
+
+
+def test_sbvh_spatial_splits_match_bruteforce(rng_np):
+    """SBVH build (spatial splits + reference duplication, reference:
+    bvh_builder.cpp:313,506) must agree with brute force on hit t (tri ids
+    may name either duplicate of a split reference, so compare geometry,
+    not ids), and must actually split on a scene of long diagonal
+    triangles (the case object-only SAH handles badly)."""
+    # long thin diagonal triangles spanning much of the scene + local soup
+    n_long, n_soup = 60, 140
+    a = rng_np.uniform(-4, 4, size=(n_long, 3))
+    d = rng_np.normal(size=(n_long, 3))
+    d = 6.0 * d / np.linalg.norm(d, axis=-1, keepdims=True)
+    w = rng_np.normal(scale=0.05, size=(n_long, 3))
+    p0l, p1l, p2l = a, a + d, a + d * 0.5 + w
+    s0, s1, s2 = _random_tri_soup(rng_np, n_soup)
+    p0 = np.concatenate([p0l, s0]).astype(np.float32)
+    p1 = np.concatenate([p1l, s1]).astype(np.float32)
+    p2 = np.concatenate([p2l, s2]).astype(np.float32)
+
+    bvh, perm = build_bvh(p0, p1 - p0, p2 - p0, arity=4,
+                          spatial_splits=True)
+    assert perm.shape[0] > p0.shape[0], "no spatial split fired"
+    soa = _make_soa(p0[perm], p1[perm], p2[perm])
+
+    n_rays = 400
+    o = rng_np.uniform(-6, 6, size=(n_rays, 3)).astype(np.float32)
+    dr = rng_np.normal(size=(n_rays, 3)).astype(np.float32)
+    dr /= np.linalg.norm(dr, axis=-1, keepdims=True)
+    oj, dj = jnp.asarray(o), jnp.asarray(dr)
+
+    hit = intersect_closest(bvh, soa, oj, dj)
+    brute = intersect_closest_brute(soa, oj, dj)
+    assert np.array_equal(np.asarray(hit.hit), np.asarray(brute.hit))
+    m = np.asarray(brute.hit)
+    assert np.allclose(np.asarray(hit.t)[m], np.asarray(brute.t)[m],
+                       rtol=1e-5, atol=1e-6)
+    # duplicates reference the same source triangle
+    tri_src = perm[np.asarray(hit.tri)[m]]
+    tri_src_b = perm[np.asarray(brute.tri)[m]]
+    tmatch = np.isclose(np.asarray(hit.t)[m], np.asarray(brute.t)[m],
+                        rtol=1e-5, atol=1e-6)
+    assert np.all((tri_src == tri_src_b) | tmatch)
+
+    occ = intersect_any(bvh, soa, oj, dj)
+    assert np.array_equal(np.asarray(occ), m)
+
+
+def test_sbvh_widerow_matches_bruteforce(rng_np):
+    """The packed wide-row kernel over an SBVH table agrees with brute
+    force (duplicated leaf references flow through _pack_one unchanged)."""
+    from gfxexp_tpu.accel.pallas_widestack import (
+        build_widerow,
+        intersect_closest_widestack,
+    )
+
+    p0, p1, p2 = _random_tri_soup(rng_np, 300, spread=2.0)
+    wrow, perm = build_widerow(p0, p1 - p0, p2 - p0, arity=4,
+                               spatial_splits=True)
+    soa = _make_soa(p0[perm], p1[perm], p2[perm])
+    n_rays = 300
+    o = rng_np.uniform(-4, 4, size=(n_rays, 3)).astype(np.float32)
+    dr = rng_np.normal(size=(n_rays, 3)).astype(np.float32)
+    dr /= np.linalg.norm(dr, axis=-1, keepdims=True)
+    oj, dj = jnp.asarray(o), jnp.asarray(dr)
+    hit = intersect_closest_widestack(wrow, soa, oj, dj)
+    brute = intersect_closest_brute(soa, oj, dj)
+    assert np.array_equal(np.asarray(hit.hit), np.asarray(brute.hit))
+    m = np.asarray(brute.hit)
+    assert np.allclose(np.asarray(hit.t)[m], np.asarray(brute.t)[m],
+                       rtol=1e-4, atol=1e-5)
