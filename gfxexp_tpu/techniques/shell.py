@@ -56,6 +56,11 @@ class ShellGeometry:
     material: int = struct.field(pytree_node=False, default=0)
     params: DisplacementParameters = struct.field(
         pytree_node=False, default=DisplacementParameters())
+    # curvature-adaptive segment count chosen at build time
+    # (_estimate_shell_segments): 1 for straight shells (exact), growing
+    # with measured normal tilt. Used when intersect_shell gets
+    # n_segments=None.
+    auto_segments: int = struct.field(pytree_node=False, default=16)
 
 
 def build_shell_geometry(positions, indices, uvs, shell_positions,
@@ -109,6 +114,11 @@ def build_shell_geometry(positions, indices, uvs, shell_positions,
     p = params
     d_lo = p.h_offset + p.h_scale * (0.0 - p.h_bias)
     d_hi = p.h_offset + p.h_scale * (1.0 - p.h_bias)
+    auto_segments = _estimate_shell_segments(
+        np.stack([positions[i0], positions[i1], positions[i2]], axis=1),
+        np.stack([normals[i0], normals[i1], normals[i2]], axis=1),
+        np.stack([uvs[i0], uvs[i1], uvs[i2]], axis=1),
+        float(min(d_lo, d_hi)), float(max(d_lo, d_hi)))
     return ShellGeometry(
         p0=jnp.asarray(positions[i0]), p1=jnp.asarray(positions[i1]),
         p2=jnp.asarray(positions[i2]),
@@ -119,8 +129,79 @@ def build_shell_geometry(positions, indices, uvs, shell_positions,
         shell_tris=shell_tris, shell_bvh=skip,
         shell_mat=jnp.asarray(shell_mat),
         h_lo=float(min(d_lo, d_hi)), h_hi=float(max(d_lo, d_hi)),
-        material=material, params=params,
+        material=material, params=params, auto_segments=auto_segments,
     )
+
+
+def _estimate_shell_segments(P, N, UV, h_lo, h_hi, eps: float = 2e-3,
+                             max_segments: int = 48):
+    """Curvature-driven segment count (host numpy; reference direction:
+    nrtdsm_intersection_kernels.h:1632 intersects the exact degree-2
+    rational texture-space curve — here the piecewise-linear trace gets an
+    error-bounded segment count instead of a fixed 16).
+
+    For every base triangle, world chords between prism corners
+    (bottom_i -> top_j, i != j — the vertex-normal verticals map exactly)
+    are inverted at their midpoint by Newton on the shell map
+    S(b1, b2, h) = base + h n. The midpoint's texture-space deviation from
+    the endpoint average IS the 1-segment chord error; since chord error
+    is second order in segment length, n = ceil(sqrt(dev / eps)) bounds
+    the per-segment deviation by eps (in normalized (u, v, hn) units).
+    Straight shells measure dev = 0 -> n = 1, where the linear trace is
+    exact."""
+    P = np.asarray(P, np.float64)  # [B, 3, 3] vertices
+    N = np.asarray(N, np.float64)
+    UV = np.asarray(UV, np.float64)  # [B, 3, 2]
+    h_span = max(h_hi - h_lo, 1e-12)
+    dev_max = 0.0
+    for i in range(3):
+        for j in range(3):
+            if i == j:
+                continue
+            xa = P[:, i] + h_lo * N[:, i]
+            xb = P[:, j] + h_hi * N[:, j]
+            xm = 0.5 * (xa + xb)
+            # texture coords of the endpoints are exact corner coords
+            qa = np.concatenate([UV[:, i], np.zeros((P.shape[0], 1))], 1)
+            qb = np.concatenate([UV[:, j], np.ones((P.shape[0], 1))], 1)
+            # Newton-invert S at the world midpoint, start at param midpoint
+            b1 = np.full(P.shape[0], 1.0 / 3)
+            b2 = np.full(P.shape[0], 1.0 / 3)
+            h = np.full(P.shape[0], 0.5 * (h_lo + h_hi))
+            e1p = P[:, 1] - P[:, 0]
+            e2p = P[:, 2] - P[:, 0]
+            e1n = N[:, 1] - N[:, 0]
+            e2n = N[:, 2] - N[:, 0]
+            ok = np.ones(P.shape[0], bool)
+            for _ in range(12):
+                nb = (N[:, 0] + b1[:, None] * e1n + b2[:, None] * e2n)
+                S = (P[:, 0] + b1[:, None] * e1p + b2[:, None] * e2p
+                     + h[:, None] * nb)
+                J = np.stack([e1p + h[:, None] * e1n,
+                              e2p + h[:, None] * e2n, nb], axis=-1)
+                det = np.linalg.det(J)
+                ok = ok & (np.abs(det) > 1e-18)
+                Js = np.where(ok[:, None, None], J, np.eye(3))
+                step = np.linalg.solve(Js, (xm - S)[..., None])[..., 0]
+                b1 = b1 + np.where(ok, step[:, 0], 0.0)
+                b2 = b2 + np.where(ok, step[:, 1], 0.0)
+                h = h + np.where(ok, step[:, 2], 0.0)
+            # converged only counts: residual must be tiny
+            nb = (N[:, 0] + b1[:, None] * e1n + b2[:, None] * e2n)
+            S = (P[:, 0] + b1[:, None] * e1p + b2[:, None] * e2p
+                 + h[:, None] * nb)
+            scale = np.linalg.norm(xb - xa, axis=-1) + 1e-12
+            ok = ok & (np.linalg.norm(S - xm, axis=-1) < 1e-6 * scale)
+            uvm = (UV[:, 0] + b1[:, None] * (UV[:, 1] - UV[:, 0])
+                   + b2[:, None] * (UV[:, 2] - UV[:, 0]))
+            qm = np.concatenate(
+                [uvm, ((h - h_lo) / h_span)[:, None]], axis=1)
+            dev = np.linalg.norm(qm - 0.5 * (qa + qb), axis=-1)
+            dev = np.where(ok, dev, 0.0)
+            if dev.size:
+                dev_max = max(dev_max, float(dev.max()))
+    n = int(np.ceil(np.sqrt(dev_max / eps))) if dev_max > 0 else 1
+    return int(np.clip(n, 1, max_segments))
 
 
 @struct.dataclass
@@ -136,14 +217,21 @@ class ShellHit:
 
 
 def intersect_shell(geom: ShellGeometry, o, d, t_min=1e-4, t_max=1e30,
-                    k_candidates: int = 2, n_segments: int = 16) -> ShellHit:
+                    k_candidates: int = 2,
+                    n_segments: int | None = None) -> ShellHit:
     """Closest shell-content hit. Candidate prisms stream nearest-first
     until the next prism AABB is farther than the best hit
     (techniques.tfdm.iterate_candidates — no silent top-k cap), then per
-    candidate the texture-space curve is traced as n_segments linear
-    segments against the shell BVH."""
+    candidate the texture-space curve is traced as linear segments
+    against the shell BVH. n_segments=None uses the geometry's
+    curvature-adaptive count (_estimate_shell_segments: 1 — exact — for
+    straight shells, more for tilted-normal shells, bounded chord
+    error)."""
     from gfxexp_tpu.accel.traverse import intersect_closest
     from gfxexp_tpu.techniques.tfdm import iterate_candidates
+
+    if n_segments is None:
+        n_segments = geom.auto_segments
 
     n_rays = o.shape[0]
     corners = jnp.stack([
@@ -175,8 +263,14 @@ def intersect_shell(geom: ShellGeometry, o, d, t_min=1e-4, t_max=1e30,
         p_a, p_b, p_c = geom.p0[b], geom.p1[b], geom.p2[b]
         n_a, n_b, n_c = geom.n0[b], geom.n1[b], geom.n2[b]
         uv_a, uv_b, uv_c = geom.uv0[b], geom.uv1[b], geom.uv2[b]
-        h_lo_v = jnp.full((n_rays,), geom.h_lo)
-        h_hi_v = jnp.full((n_rays,), geom.h_hi)
+        # the height solve gets an epsilon-widened interval: sample points
+        # at the prism AABB entry/exit sit EXACTLY on h_lo/h_hi and float
+        # error otherwise flickers their validity (a 1-segment straight-
+        # shell trace then loses both endpoints); hn is clamped back to
+        # the unit shell afterwards
+        h_pad = 1e-3 * h_span
+        h_lo_v = jnp.full((n_rays,), geom.h_lo - h_pad)
+        h_hi_v = jnp.full((n_rays,), geom.h_hi + h_pad)
 
         def tex_point(t):
             """World ray point -> (u, v, hn) shell coordinates + validity."""
@@ -187,7 +281,7 @@ def intersect_shell(geom: ShellGeometry, o, d, t_min=1e-4, t_max=1e30,
             uv = (w[:, None] * uv_a + b1[:, None] * uv_b
                   + b2[:, None] * uv_c)
             uv = _uv_transform(p, uv)
-            hn = (h - geom.h_lo) / h_span
+            hn = jnp.clip((h - geom.h_lo) / h_span, 0.0, 1.0)
             inside = (ok & (b1 >= -1e-3) & (b2 >= -1e-3)
                       & (w >= -1e-3))
             return jnp.concatenate([uv, hn[:, None]], axis=-1), inside
