@@ -220,3 +220,118 @@ def intersect_round_linear(p0, r0, p1, r1, o, d, t_min=1e-4, t_max=1e30):
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
     t_out = jnp.where(hit, t_best, t_max)
     return hit, t_out, n, s
+
+
+# ---------------------------------------------------------------------------
+# Scene-level curve primitive: batches of round-linear segments traced
+# directly (no tessellation) beside triangles and displaced geometry
+# (reference: curve primitives registered in the GAS,
+# createLinearSegmentsGeometryInstance common_host.cpp:1999 + the OptiX
+# round-linear intersector; evaluators curve_evaluator.h:309). Higher-order
+# bases are flattened to round-linear POLYLINES (exact swept-sphere
+# intersection of a piecewise-linear center curve) — tessellation to tubes
+# remains the triangle-pipeline fallback.
+# ---------------------------------------------------------------------------
+
+from flax import struct as _struct  # noqa: E402
+
+
+@_struct.dataclass
+class CurveSegments:
+    """Round-linear segment soup (cone-spheres)."""
+
+    p0: jnp.ndarray  # [C, 3]
+    p1: jnp.ndarray  # [C, 3]
+    r0: jnp.ndarray  # [C]
+    r1: jnp.ndarray  # [C]
+    material: int = _struct.field(pytree_node=False, default=0)
+
+
+@_struct.dataclass
+class CurveHit:
+    t: jnp.ndarray  # [R]
+    hit: jnp.ndarray
+    position: jnp.ndarray  # [R, 3]
+    normal: jnp.ndarray
+    uv: jnp.ndarray  # [R, 2] (s along segment, 0.5)
+    prim: jnp.ndarray  # [R] segment index (-1 miss)
+
+
+def build_curve_segments(control_points, radii, material: int = 0,
+                         curve_type: str = CURVE_LINEAR,
+                         n_subdiv: int = 8) -> CurveSegments:
+    """Host build. Linear curves become one segment per control-point pair;
+    higher-order bases are evaluated at n_subdiv+1 parameters per span and
+    chained into a round-linear polyline."""
+    cp = np.asarray(control_points, np.float32)
+    rr = np.asarray(radii, np.float32)
+    if curve_type == CURVE_LINEAR:
+        a, b = cp[:-1], cp[1:]
+        ra, rb = rr[:-1], rr[1:]
+    else:
+        k = _basis(curve_type).shape[0]
+        pts, rads = [], []
+        n_spans = cp.shape[0] - k + 1
+        assert n_spans >= 1, (cp.shape, curve_type)
+        for s in range(n_spans):
+            ts = np.linspace(0.0, 1.0, n_subdiv + 1)
+            if s > 0:
+                ts = ts[1:]  # span boundary shared with the previous span
+            pos, rad = evaluate(curve_type, jnp.asarray(cp[s:s + k])[None],
+                                jnp.asarray(ts)[:, None],
+                                radii=jnp.asarray(rr[s:s + k])[None])
+            pts.append(np.asarray(pos[:, 0]))
+            rads.append(np.asarray(rad[:, 0]))
+        poly = np.concatenate(pts)
+        prad = np.concatenate(rads)
+        a, b = poly[:-1], poly[1:]
+        ra, rb = prad[:-1], prad[1:]
+    return CurveSegments(
+        p0=jnp.asarray(a), p1=jnp.asarray(b),
+        r0=jnp.asarray(ra), r1=jnp.asarray(rb), material=material)
+
+
+def intersect_curve_segments(geom: CurveSegments, o, d, t_min=1e-4,
+                             t_max=1e30, k_candidates: int = 4) -> CurveHit:
+    """Closest hit against every segment, streaming candidates
+    nearest-first by segment-AABB entry until no unprocessed AABB lies
+    closer than the best hit (techniques.tfdm.iterate_candidates — the
+    same no-silent-cap driver the displaced primitives use)."""
+    from gfxexp_tpu.techniques.tfdm import iterate_candidates
+
+    n_rays = o.shape[0]
+    r0b = geom.r0[:, None]
+    r1b = geom.r1[:, None]
+    lo = jnp.minimum(geom.p0 - r0b, geom.p1 - r1b) - 1e-6
+    hi = jnp.maximum(geom.p0 + r0b, geom.p1 + r1b) + 1e-6
+
+    t_min_v = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_rays,))
+    state0 = (
+        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_rays,)),
+        jnp.full((n_rays,), -1, jnp.int32),
+        jnp.zeros((n_rays, 3), jnp.float32),  # normal
+        jnp.zeros((n_rays,), jnp.float32),    # s
+    )
+
+    def process(state, cid, near, far):
+        best_t, best_prim, best_n, best_s = state
+        b = jnp.maximum(cid, 0)
+        hit, t, n, s = intersect_round_linear(
+            geom.p0[b], geom.r0[b], geom.p1[b], geom.r1[b], o, d,
+            t_min=t_min_v, t_max=best_t)
+        take = (cid >= 0) & hit & (t < best_t)
+        return (jnp.where(take, t, best_t),
+                jnp.where(take, cid, best_prim),
+                jnp.where(take[:, None], n, best_n),
+                jnp.where(take, s, best_s))
+
+    best_t, best_prim, best_n, best_s = iterate_candidates(
+        lo, hi, o, d, t_min, t_max, k_candidates, state0, process,
+        lambda st: st[0])
+    return CurveHit(
+        t=best_t, hit=best_prim >= 0,
+        position=o + best_t[:, None] * d,
+        normal=best_n,
+        uv=jnp.stack([best_s, jnp.full_like(best_s, 0.5)], axis=-1),
+        prim=best_prim,
+    )

@@ -247,11 +247,25 @@ class SceneBuilder:
 
     def add_curve(self, control_points, radii, material,
                   curve_type: str = "cubic_bspline",
-                  n_axial: int = 8, n_radial: int = 8) -> int:
-        """Swept-sphere curve segment, tessellated into a tube (reference:
+                  n_axial: int = 8, n_radial: int = 8,
+                  direct: bool = False) -> int:
+        """Swept-sphere curve (reference:
         createLinearSegmentsGeometryInstance + curve primitive support,
         common_host.cpp:1999 / curve_evaluator.h; exact evaluators in
-        core/curves.py)."""
+        core/curves.py).
+
+        direct=True traces the curve as exact round-linear swept-sphere
+        segments in the pipeline (higher-order bases flatten to a
+        round-linear polyline of the exact curve); direct=False (default)
+        tessellates to a triangle tube. Direct curves live beside the
+        displaced primitives, so the returned id is NOT a triangle
+        geometry id (it cannot be instanced/transformed)."""
+        if direct:
+            self.displaced_geoms.append(
+                ("curve", np.asarray(control_points, np.float32),
+                 None, None, np.asarray(radii, np.float32),
+                 curve_type, int(material), None))
+            return len(self.displaced_geoms) - 1
         from gfxexp_tpu.core.curves import tessellate_curve
 
         v, n, f = tessellate_curve(
@@ -307,7 +321,12 @@ class SceneBuilder:
         out = []
         for (kind, pos, idx, uvs, height, params, mat,
              normals) in self.displaced_geoms:
-            if kind == "shell":
+            if kind == "curve":
+                from gfxexp_tpu.core.curves import build_curve_segments
+
+                out.append(build_curve_segments(
+                    pos, height, material=mat, curve_type=params))
+            elif kind == "shell":
                 from gfxexp_tpu.techniques.shell import build_shell_geometry
 
                 spos, sidx, smats = height

@@ -147,3 +147,107 @@ def test_round_linear_direct_intersection():
                   for e in np.eye(3)])
     g /= np.linalg.norm(g)
     assert np.allclose(np.asarray(n2[0]), g, atol=1e-3)
+
+
+def test_curve_segments_pipeline_analytic():
+    """CurveSegments streaming intersection (scene-level driver) against
+    the analytic distance for perpendicular rays at a constant-radius
+    segment, plus nearest-segment selection across a polyline."""
+    from gfxexp_tpu.core.curves import (
+        build_curve_segments,
+        intersect_curve_segments,
+    )
+
+    # zig-zag polyline along x at y=0, constant radius
+    cp = np.array([[0, 0, 0], [1, 0, 0], [2, 0.4, 0], [3, 0.0, 0]],
+                  np.float32)
+    r = np.full(4, 0.1, np.float32)
+    geom = build_curve_segments(cp, r, material=7, curve_type="linear")
+    assert geom.p0.shape[0] == 3
+
+    # perpendicular rays from +z at x = 0.5 (segment 0 interior)
+    o = jnp.asarray([[0.5, 0.0, 2.0], [2.5, 0.2, 2.0], [0.5, 5.0, 2.0]])
+    d = jnp.asarray([[0, 0, -1.0], [0, 0, -1.0], [0, 0, -1.0]])
+    h = intersect_curve_segments(geom, o, d)
+    assert bool(h.hit[0]) and bool(h.hit[1]) and not bool(h.hit[2])
+    assert abs(float(h.t[0]) - (2.0 - 0.1)) < 1e-4
+    assert int(h.prim[0]) == 0 and int(h.prim[1]) == 2
+    # normal points back toward the ray origin (+z)
+    assert float(h.normal[0, 2]) > 0.99
+
+
+def test_curve_polyline_flattening_cubic():
+    """Higher-order bases flatten to a round-linear polyline of the exact
+    curve: hits land within the polyline chord error of the true curve."""
+    from gfxexp_tpu.core.curves import (
+        build_curve_segments,
+        evaluate,
+        intersect_curve_segments,
+    )
+
+    cp = np.array([[0, 0, 0], [1, 1, 0], [2, -1, 0], [3, 0, 0]], np.float32)
+    r = np.full(4, 0.15, np.float32)
+    geom = build_curve_segments(cp, r, curve_type="cubic_bspline",
+                                n_subdiv=16)
+    # ray at the span midpoint, from +z
+    pos_mid, rad_mid = evaluate("cubic_bspline", jnp.asarray(cp)[None],
+                                jnp.asarray([0.5]), radii=jnp.asarray(r)[None])
+    pm = np.asarray(pos_mid)[0]
+    o = jnp.asarray([[pm[0], pm[1], 3.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+    h = intersect_curve_segments(geom, o, d)
+    assert bool(h.hit[0])
+    assert abs(float(h.t[0]) - (3.0 - float(rad_mid[0]))) < 5e-3
+
+
+def test_curve_direct_render_vs_tube():
+    """App-level: a direct round-linear curve renders through
+    render_sample and matches the tube-tessellated version of the same
+    curve (same silhouette up to tessellation error, shadows cast)."""
+    from gfxexp_tpu.render.camera import make_camera
+    from gfxexp_tpu.render.pathtrace import PTConfig, render_sample
+    from gfxexp_tpu.scene.builder import SceneBuilder, affine
+    from gfxexp_tpu.scene.compile import compile_scene
+
+    cp = np.array([[-0.5, 0.25, 0], [0.5, 0.25, 0]], np.float32)
+    rr = np.full(2, 0.18, np.float32)
+
+    def build(direct):
+        b = SceneBuilder()
+        floor = b.add_lambert_material((0.8, 0.8, 0.8))
+        red = b.add_lambert_material((0.8, 0.2, 0.2))
+        light = b.add_lambert_material((0, 0, 0), emittance=(80.0,) * 3)
+        fg = b.add_rectangle(2.0, 2.0, floor)
+        b.add_instance(fg)
+        lg = b.add_rectangle(0.5, 0.5, light)
+        flip = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float64)
+        b.add_instance(lg, affine(rotation=flip, translation=[0, 1.5, 0]))
+        b.add_curve(cp, rr, red, curve_type="linear", direct=direct,
+                    n_radial=24, n_axial=4)
+        if not direct:
+            # tube geometry id is a triangle geometry: instance it
+            b.add_instance(len(b.geometries) - 1)
+        return compile_scene(b)
+
+    cam = make_camera([0, 0.8, 1.6], fov_y=np.deg2rad(45), aspect=1.0,
+                      target=[0, 0.2, 0])
+    imgs = []
+    for direct in (True, False):
+        scene, bvh = build(direct)
+        acc = np.zeros((48 * 48, 3), np.float64)
+        for s in range(8):
+            acc += np.asarray(render_sample(
+                scene, bvh, cam, 48, 48, jnp.uint32(s),
+                PTConfig(max_path_length=3)))
+        imgs.append((acc / 8).reshape(48, 48, 3))
+    im_direct, im_tube = imgs
+    # both show the curve: red dominance in the image center rows
+    def redness(im):
+        c = im[18:30, 12:36]
+        return (c[..., 0] / np.maximum(c.sum(-1), 1e-6)).mean()
+    assert redness(im_direct) > 0.4, redness(im_direct)
+    assert redness(im_tube) > 0.4
+    # images agree to tessellation + MC error
+    diff = np.abs(im_direct - im_tube).mean()
+    scale = np.abs(im_tube).mean() + 1e-6
+    assert diff / scale < 0.25, diff / scale
