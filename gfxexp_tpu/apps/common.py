@@ -256,9 +256,51 @@ def maybe_viewer(args):
     return LiveViewer(port=args.live)
 
 
-def viewer_update(viewer, film_beauty, frame: int):
+def viewer_update(viewer, film_beauty, frame: int, brightness: float = 1.0):
     if viewer is not None:
-        viewer.update(np.asarray(film_beauty), frame=frame)
+        viewer.update(np.asarray(film_beauty), frame=frame,
+                      brightness=brightness)
+
+
+def maybe_camera_rig(args, viewer):
+    """An interactive CameraRig when a live viewer is attached (the
+    reference's WASD+mouse camera, path_tracing_main.cpp:1359-1436);
+    None for plain offline renders."""
+    if viewer is None:
+        return None
+    import math as _math
+
+    from gfxexp_tpu.utils.viewer import CameraRig
+
+    # derive an orbit target from the CLI camera: a point along the view
+    # direction at a plausible focus distance
+    cam_pos = np.asarray(args.cam_pos, np.float64)
+    ori = euler_orientation(
+        _math.radians(args.cam_roll), _math.radians(args.cam_pitch),
+        _math.radians(args.cam_yaw))
+    fwd = np.asarray(ori, np.float64) @ np.asarray([0.0, 0.0, -1.0])
+    dist = max(float(np.linalg.norm(cam_pos)), 1.0)
+    rig = CameraRig(cam_pos, cam_pos + fwd * dist)
+    rig.debug_switches = int(getattr(args, "debug_switches", 0))
+    return rig
+
+
+def rig_step(rig, viewer, args, film, make_film_fn):
+    """Drain viewer events into the rig; on camera change return a fresh
+    (camera, film, debug_switches) with accumulation reset — the
+    reference's resetAccumulation-on-move. No-op (returns None camera)
+    when nothing changed."""
+    import math as _math
+
+    if rig is None or viewer is None:
+        return None, film, None
+    changed = rig.apply(viewer.drain_events())
+    if not changed and not rig.reset_requested:
+        return None, film, None
+    rig.reset_requested = False
+    camera = rig.make_camera(_math.radians(args.fov),
+                             args.width / args.height)
+    return camera, make_film_fn(args.width, args.height), rig.debug_switches
 
 
 def save_outputs(args, hdr_image: np.ndarray):

@@ -44,16 +44,30 @@ def main(argv=None):
     film = make_film(args.width, args.height)
     timer = common.PassTimer()
     viewer = common.maybe_viewer(args)
+    rig = common.maybe_camera_rig(args, viewer)
+    debug_switches = args.debug_switches
+    sample_key = 0
     for f in range(args.frames):
+        # interactive camera/toggles (live viewer): a move rebuilds the
+        # camera and restarts accumulation (reference: camera state machine
+        # + resetAccumulation, path_tracing_main.cpp:1359-1436)
+        new_cam, film, new_sw = common.rig_step(
+            rig, viewer, args, film, make_film)
+        if new_cam is not None:
+            camera = new_cam
+            debug_switches = new_sw
+            sample_key = f  # fresh RNG stream for the restarted accum
         if controllers:
             scene, bvh = timer.measure(
                 "update", advance_frame, scene, bvh, controllers, f / 60.0)
         radiance = timer.measure(
             "pathTrace", render_sample, scene, bvh, camera,
-            args.width, args.height, jnp.uint32(f), cfg,
-            jnp.uint32(args.debug_switches))
+            args.width, args.height, jnp.uint32(f - sample_key), cfg,
+            jnp.uint32(debug_switches))
         film = add_sample(film, radiance.reshape(args.height, args.width, 3))
-        common.viewer_update(viewer, film.beauty, f + 1)
+        common.viewer_update(
+            viewer, film.beauty, f + 1,
+            brightness=rig.brightness if rig is not None else 1.0)
         if args.stats and (f % 16 == 15):
             print(f"frame {f + 1}/{args.frames}: {timer.report()}",
                   file=sys.stderr)

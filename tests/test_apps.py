@@ -123,3 +123,87 @@ def test_scene_dsl_parser():
     # emissive material created for the lamp
     emitting = [m for m in builder.materials if max(m.emittance) > 0]
     assert len(emitting) == 1
+
+
+def test_viewer_control_roundtrip():
+    """The live viewer accepts POST /control events and the CameraRig
+    applies them: orbit moves the position on the target sphere, dolly
+    scales distance, pan translates both, toggles flip debug bits."""
+    import json
+    import time
+    import urllib.request
+
+    from gfxexp_tpu.utils.viewer import CameraRig, LiveViewer
+
+    viewer = LiveViewer(port=0)
+    try:
+        url = f"http://localhost:{viewer.port}/control"
+
+        def post(ev):
+            req = urllib.request.Request(
+                url, data=json.dumps(ev).encode(), method="POST")
+            assert urllib.request.urlopen(req, timeout=5).status == 204
+
+        post({"action": "orbit", "dx": 40, "dy": 0})
+        post({"action": "dolly", "amount": 1})
+        post({"action": "pan", "v": [1, 0, 0]})
+        post({"action": "toggle", "bit": 2})
+        post({"action": "brightness", "log2": 1.0})
+        time.sleep(0.05)
+        events = viewer.drain_events()
+        assert len(events) == 5
+        assert viewer.drain_events() == []  # drained
+
+        rig = CameraRig([0.0, 0.0, 2.0], [0.0, 0.0, 0.0])
+        changed = rig.apply(events)
+        assert changed
+        d = np.linalg.norm(rig.position - rig.target)
+        # dolly moved the distance off 2.0; orbit kept it on the sphere
+        assert abs(d - 2.0 * rig.dolly_base) < 0.3
+        assert abs(rig.position[0]) > 1e-3  # orbit + pan moved x
+        assert rig.debug_switches == 4
+        assert abs(rig.brightness - 2.0) < 1e-6
+
+        cam = rig.make_camera(np.deg2rad(45), 1.0)
+        assert np.isfinite(np.asarray(cam.position)).all()
+    finally:
+        viewer.close()
+
+
+def test_path_tracing_app_live_interactive(tmp_path, monkeypatch):
+    """App-level: a live render accepts a camera-orbit POST mid-run and
+    keeps rendering (accumulation restarts) — interactive camera move
+    without restart (reference: path_tracing_main.cpp camera loop)."""
+    import json
+    import threading
+    import urllib.request
+
+    from gfxexp_tpu.apps import path_tracing
+    from gfxexp_tpu.utils import viewer as viewer_mod
+
+    ports = {}
+    orig_init = viewer_mod.LiveViewer.__init__
+
+    def patched_init(self, port=8716, **kw):
+        orig_init(self, port=0, **kw)
+        ports["port"] = self.port
+        # post an orbit event shortly after startup, from a side thread
+        def poke():
+            ev = {"action": "orbit", "dx": 60, "dy": 10}
+            req = urllib.request.Request(
+                f"http://localhost:{self.port}/control",
+                data=json.dumps(ev).encode(), method="POST")
+            urllib.request.urlopen(req, timeout=5)
+        threading.Timer(0.2, poke).start()
+
+    monkeypatch.setattr(viewer_mod.LiveViewer, "__init__", patched_init)
+    out = tmp_path / "live"
+    path_tracing.main([
+        "-width", "24", "-height", "24", "-frames", "6",
+        "-max-path-length", "2", "-live", "0", "-output", str(out),
+        "-name", "floor", "-rectangle", "2", "2", "-inst", "floor",
+        "-name", "lamp", "-emittance", "30", "30", "30",
+        "-rectangle", "1", "1", "-inst", "lamp", "-position", "0", "2", "0",
+    ])
+    assert (tmp_path / "live.png").exists()
+    assert "port" in ports
