@@ -303,10 +303,253 @@ def load_ply(path: str, builder: SceneBuilder,
 
 
 def load_mesh(path: str, builder: SceneBuilder, **kw) -> List[int]:
-    """Extension-dispatched mesh import (OBJ / PLY)."""
+    """Extension-dispatched mesh import (OBJ / PLY / glTF / GLB)."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".obj":
         return load_obj(path, builder, **kw)
     if ext == ".ply":
         return load_ply(path, builder, **kw)
+    if ext in (".gltf", ".glb"):
+        kw.pop("material_convention", None)  # glTF is always PBR
+        return load_gltf(path, builder, **kw)
     raise ValueError(f"unsupported mesh format: {ext}")
+
+
+# ---------------------------------------------------------------------------
+# glTF 2.0 (.gltf JSON / .glb binary container)
+# (reference imports multi-format scenes through assimp,
+# common_host.cpp:2150 loadTriangleMeshGeometriesOnCPU + node flattening
+# computeFlattenedMesh:2080; assimp isn't available here, so glTF — the
+# interchange format Bistro-class scenes commonly ship in — is parsed
+# directly: buffers/bufferViews/accessors, pbrMetallicRoughness materials,
+# node-tree TRS/matrix transforms instanced through the builder.)
+# ---------------------------------------------------------------------------
+
+_GLTF_COMP = {
+    5120: np.int8, 5121: np.uint8, 5122: np.int16, 5123: np.uint16,
+    5125: np.uint32, 5126: np.float32,
+}
+_GLTF_NCOMP = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4, "MAT4": 16}
+
+
+def _gltf_read_buffers(doc: dict, base_dir: str, glb_bin: Optional[bytes]):
+    import base64
+
+    buffers = []
+    for buf in doc.get("buffers", []):
+        uri = buf.get("uri")
+        if uri is None:
+            assert glb_bin is not None, "buffer without uri outside GLB"
+            buffers.append(glb_bin)
+        elif uri.startswith("data:"):
+            buffers.append(base64.b64decode(uri.split(",", 1)[1]))
+        else:
+            from urllib.parse import unquote
+
+            with open(os.path.join(base_dir, unquote(uri)), "rb") as f:
+                buffers.append(f.read())
+    return buffers
+
+
+def _gltf_accessor(doc: dict, buffers, idx: int) -> np.ndarray:
+    acc = doc["accessors"][idx]
+    ncomp = _GLTF_NCOMP[acc["type"]]
+    dtype = _GLTF_COMP[acc["componentType"]]
+    count = acc["count"]
+    itemsize = np.dtype(dtype).itemsize
+    if "bufferView" not in acc:  # sparse-only/zero-filled accessor
+        return np.zeros((count, ncomp), dtype)
+    bv = doc["bufferViews"][acc["bufferView"]]
+    raw = buffers[bv["buffer"]]
+    off = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
+    stride = bv.get("byteStride", 0) or ncomp * itemsize
+    rows = np.frombuffer(raw, np.uint8, count=(count - 1) * stride
+                         + ncomp * itemsize, offset=off)
+    if stride == ncomp * itemsize:
+        out = rows.view(dtype).reshape(count, ncomp)
+    else:
+        idxs = (np.arange(count)[:, None] * stride
+                + np.arange(ncomp * itemsize)[None, :])
+        out = rows[idxs].copy().view(dtype).reshape(count, ncomp)
+    if acc.get("normalized"):
+        info = np.iinfo(dtype)
+        out = out.astype(np.float32) / float(info.max)
+        if info.min < 0:
+            out = np.maximum(out, -1.0)
+    return out
+
+
+def _gltf_node_matrix(node: dict) -> np.ndarray:
+    if "matrix" in node:
+        return np.asarray(node["matrix"], np.float64).reshape(4, 4).T
+    m = np.eye(4)
+    if "scale" in node:
+        m[:3, :3] = np.diag(node["scale"])
+    if "rotation" in node:
+        x, y, z, w = node["rotation"]
+        r = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ])
+        m[:3, :3] = r @ m[:3, :3]
+    if "translation" in node:
+        m[:3, 3] = node["translation"]
+    return m
+
+
+def load_gltf(path: str, builder: SceneBuilder,
+              instantiate: bool = True) -> List[int]:
+    """Load a .gltf/.glb scene: geometry per mesh primitive (SimplePBR
+    materials from pbrMetallicRoughness), node-tree transforms flattened
+    and instanced (instantiate=True). Returns all created geometry ids."""
+    import json
+
+    base_dir = os.path.dirname(os.path.abspath(path))
+    glb_bin = None
+    with open(path, "rb") as f:
+        head = f.read(4)
+        f.seek(0)
+        if head == b"glTF":  # GLB container
+            import struct as _struct
+
+            data = f.read()
+            _, version, _ = _struct.unpack_from("<III", data, 0)
+            assert version == 2, f"GLB version {version}"
+            off = 12
+            doc = None
+            while off < len(data):
+                clen, ctype = _struct.unpack_from("<II", data, off)
+                chunk = data[off + 8:off + 8 + clen]
+                if ctype == 0x4E4F534A:  # JSON
+                    doc = json.loads(chunk)
+                elif ctype == 0x004E4942:  # BIN
+                    glb_bin = chunk
+                off += 8 + clen + (-clen) % 4
+            assert doc is not None, "GLB without JSON chunk"
+        else:
+            doc = json.load(open(path, "r"))
+
+    buffers = _gltf_read_buffers(doc, base_dir, glb_bin)
+
+    # --- textures -> atlas ids (external image URIs; PNG data handled by
+    # the repo codec, other formats fall back to builder.load_texture) ---
+    tex_atlas: dict = {}
+
+    def texture_id(tex_index: Optional[int], srgb: bool) -> int:
+        if tex_index is None:
+            return -1
+        if tex_index in tex_atlas:
+            return tex_atlas[tex_index]
+        tid = -1
+        try:
+            img_idx = doc["textures"][tex_index].get("source")
+            img = doc["images"][img_idx]
+            if "uri" in img and not img["uri"].startswith("data:"):
+                from urllib.parse import unquote
+
+                tid = builder.load_texture(
+                    os.path.join(base_dir, unquote(img["uri"])),
+                    to_linear=srgb)
+            elif "bufferView" in img:
+                bv = doc["bufferViews"][img["bufferView"]]
+                blob = buffers[bv["buffer"]][
+                    bv.get("byteOffset", 0):
+                    bv.get("byteOffset", 0) + bv["byteLength"]]
+                import tempfile
+
+                suffix = ".png" if img.get("mimeType") == "image/png" \
+                    else ".jpg"
+                with tempfile.NamedTemporaryFile(suffix=suffix,
+                                                 delete=False) as tf:
+                    tf.write(blob)
+                tid = builder.load_texture(tf.name, to_linear=srgb)
+                os.unlink(tf.name)
+        except Exception as e:  # missing/unsupported image: constant color
+            print(f"gltf: texture {tex_index} skipped ({e})")
+        tex_atlas[tex_index] = tid
+        return tid
+
+    # --- materials (pbrMetallicRoughness -> SimplePBR convention) ---
+    mat_ids = []
+    for m in doc.get("materials", []):
+        pbr = m.get("pbrMetallicRoughness", {})
+        base = pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])
+        emis = m.get("emissiveFactor", [0.0, 0.0, 0.0])
+        strength = m.get("extensions", {}).get(
+            "KHR_materials_emissive_strength", {}).get(
+            "emissiveStrength", 1.0)
+        bct = pbr.get("baseColorTexture", {}).get("index")
+        nrm = m.get("normalTexture", {}).get("index")
+        mat_ids.append(builder.add_material(HostMaterial(
+            bsdf_type=BSDF_SIMPLE_PBR,
+            diffuse_color=tuple(base[:3]),
+            roughness=float(pbr.get("roughnessFactor", 1.0)),
+            metallic=float(pbr.get("metallicFactor", 1.0)),
+            emittance=tuple(float(e) * strength for e in emis),
+            diffuse_tex=texture_id(bct, srgb=True),
+            normal_tex=texture_id(nrm, srgb=False),
+            name=m.get("name", ""),
+        )))
+    default_mat = None
+
+    # --- meshes -> geometry groups ---
+    mesh_geoms: List[List[int]] = []
+    all_geoms: List[int] = []
+    for mesh in doc.get("meshes", []):
+        ids = []
+        for prim in mesh.get("primitives", []):
+            if prim.get("mode", 4) != 4:
+                print(f"gltf: skipping non-triangle primitive in "
+                      f"{mesh.get('name', '?')}")
+                continue
+            attrs = prim["attributes"]
+            pos = _gltf_accessor(doc, buffers, attrs["POSITION"]) \
+                .astype(np.float32)
+            if "indices" in prim:
+                idx = _gltf_accessor(doc, buffers, prim["indices"]) \
+                    .reshape(-1).astype(np.int64)
+            else:
+                idx = np.arange(pos.shape[0], dtype=np.int64)
+            idx = idx.reshape(-1, 3).astype(np.int32)
+            nrm = None
+            if "NORMAL" in attrs:
+                nrm = _gltf_accessor(doc, buffers, attrs["NORMAL"]) \
+                    .astype(np.float32)
+            uv = None
+            if "TEXCOORD_0" in attrs:
+                uvd = _gltf_accessor(doc, buffers, attrs["TEXCOORD_0"]) \
+                    .astype(np.float32)
+                # glTF uv origin is top-left; the sampler's v flip expects
+                # GL-style bottom-left
+                uv = np.stack([uvd[:, 0], 1.0 - uvd[:, 1]], axis=1)
+            if "material" in prim:
+                mat = mat_ids[prim["material"]]
+            else:
+                if default_mat is None:
+                    default_mat = builder.add_material(HostMaterial())
+                mat = default_mat
+            ids.append(builder.add_geometry(pos, idx, mat, normals=nrm,
+                                            texcoords=uv))
+        mesh_geoms.append(ids)
+        all_geoms.extend(ids)
+
+    # --- node tree -> flattened instances ---
+    if instantiate:
+        nodes = doc.get("nodes", [])
+        scene_idx = doc.get("scene", 0)
+        scenes = doc.get("scenes", [])
+        roots = scenes[scene_idx]["nodes"] if scenes else range(len(nodes))
+
+        def walk(ni: int, parent: np.ndarray):
+            node = nodes[ni]
+            m = parent @ _gltf_node_matrix(node)
+            if "mesh" in node and mesh_geoms[node["mesh"]]:
+                builder.add_instance(mesh_geoms[node["mesh"]],
+                                     m[:3, :4].astype(np.float32))
+            for child in node.get("children", []):
+                walk(child, m)
+
+        for r in roots:
+            walk(r, np.eye(4))
+    return all_geoms
