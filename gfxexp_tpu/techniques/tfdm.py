@@ -627,36 +627,38 @@ def _sample_height_at(geom, height, uv):
 def intersect_tfdm_v2(geom: TFDMGeometry, o, d, t_min=1e-4, t_max=1e30,
                       k_candidates: int = 4, max_steps: int = 128,
                       n_refine: int = 8, coarse_size: int = 16,
-                      mid_size: int = 64) -> TFDMHit:
+                      mid_size: int = 64, fine_size: int = 256) -> TFDMHit:
     """Mip-guided displaced-surface intersection, vectorized over rays.
 
     Per ray: candidates stream nearest-first UNTIL the next prism AABB is
     farther than the best hit (iterate_candidates — no silent top-k cap);
     for each candidate a while-loop walks the ray with ADAPTIVE steps — at
     each position the minmax texel (epsilon-widened, displacement-mapped) is
-    tested against the ray's height span over the texel crossing at TWO
-    pyramid levels (coarse then mid, e.g. 16^2 then 64^2); empty texels are
-    skipped in ONE step (jump to the texel exit at the emptiest level),
-    occupied ones advance by fine steps (half a base texel of uv travel)
-    with sign-change detection, then bisection refinement. Per-ray step
-    counts come back as the TraversalStats heatmap (reference:
+    tested against the ray's height span over the texel crossing at up to
+    THREE pyramid levels (coarse -> mid -> fine, e.g. 16^2 / 64^2 / 256^2,
+    each clamped to the map resolution); empty texels are skipped in ONE
+    step (jump to the texel exit of the coarsest EMPTY level), occupied
+    ones advance by fine steps (half a base texel of uv travel) with
+    sign-change detection, then bisection refinement. Per-ray step counts
+    come back as the TraversalStats heatmap (reference:
     displacedSurface_generic's pyramid descend-or-advance loop,
     tfdm_intersection_kernels.h:171-560; directed rounding replaced by
     epsilon widening, SURVEY.md §7 phase 5)."""
     n_rays = o.shape[0]
     s = geom.height.shape[0]
     mm = geom.minmax
-    # coarse/mid levels: texel grids of `coarse_size`^2 / `mid_size`^2
-    # (clamped to the map itself); level l has size s >> l
-    cs = min(coarse_size, s)
-    lc = max(s.bit_length() - cs.bit_length(), 0)
-    cs = s >> lc
-    coarse = mm.levels[lc, :cs, :cs, :]  # [cs, cs, 2]
-    ms_ = min(max(mid_size, cs), s)
-    lm = max(s.bit_length() - ms_.bit_length(), 0)
-    ms_ = s >> lm
-    mid = mm.levels[lm, :ms_, :ms_, :]  # [ms_, ms_, 2]
-    use_mid = ms_ > cs
+    # pyramid levels consulted per step, coarse-to-fine (clamped to the
+    # map itself, deduplicated); level l of the pyramid has size s >> l
+    level_arrs = []
+    seen_sizes = set()
+    for want in (coarse_size, mid_size, fine_size):
+        wsz = min(max(int(want), 1), s)
+        lvl = max(s.bit_length() - wsz.bit_length(), 0)
+        sz = s >> lvl
+        if sz in seen_sizes:
+            continue
+        seen_sizes.add(sz)
+        level_arrs.append((mm.levels[lvl, :sz, :sz, :], sz))
     p = geom.params
     # displacement-mapped conservative interval per texel happens per-lookup
     # below (h_offset/h_scale/h_bias are scalars)
@@ -802,17 +804,17 @@ def intersect_tfdm_v2(geom: TFDMGeometry, o, d, t_min=1e-4, t_max=1e30,
                 span_hi = jnp.maximum(h, h2) + 1e-4
                 return (span_lo <= ivhi) & (span_hi >= ivlo), t_exit
 
-            # pyramid descent: coarse texel, then (when coarse is occupied)
-            # the finer mid texel — empty space is skipped at the emptiest
-            # level's exit (reference: per-texel pyramid descend-or-advance)
-            occ_c, t_exit_c = level_test(coarse, cs)
-            if use_mid:
-                occ_m, t_exit_m = level_test(mid, ms_)
-                occupied = occ_c & occ_m
-                t_exit = jnp.where(occ_c, t_exit_m, t_exit_c)
-            else:
-                occupied = occ_c
-                t_exit = t_exit_c
+            # pyramid descent coarse-to-fine: a texel is occupied only if
+            # EVERY consulted level overlaps; empty space is skipped at
+            # the exit of the coarsest empty level (reference: per-texel
+            # pyramid descend-or-advance)
+            occupied, t_exit = level_test(*level_arrs[0])
+            for arr_l, sz_l in level_arrs[1:]:
+                occ_l, exit_l = level_test(arr_l, sz_l)
+                # only descend (adopt the finer exit) where every coarser
+                # level was occupied; an empty outer level keeps its exit
+                t_exit = jnp.where(occupied, exit_l, t_exit)
+                occupied = occupied & occ_l
 
             gap, inside = gap_of(t)
             crossing = (running & prev_valid & inside

@@ -350,3 +350,39 @@ def test_bspline_local_intersection():
                        for i in range(6)])
     assert np.allclose(np.asarray(hit.t), expect, atol=5e-3), (
         np.asarray(hit.t), expect)
+
+
+def test_tfdm_v2_three_level_descent():
+    """The third (fine) pyramid level tightens empty-space classification
+    on a large sparse map: grazing rays passing NEAR a feature take fewer
+    steps with the 256^2 level than with the 64^2-capped walk, and hits
+    are identical."""
+    from gfxexp_tpu.techniques.tfdm import intersect_tfdm_v2
+
+    s = 512
+    height = np.zeros((s, s), np.float32)
+    height[248:264, 248:264] = 1.0  # one small central bump
+    geom = _plane_geom(height, DisplacementParameters(h_scale=0.4))
+    rng = np.random.default_rng(3)
+    n = 64
+    # grazing rays sweeping low over the plane toward the bump's
+    # neighborhood: mid-level (64^2) texels near the bump read occupied,
+    # fine-level (256^2) texels mostly do not
+    o = np.stack([np.zeros(n), np.full(n, 0.12),
+                  rng.uniform(0.40, 0.60, n)], -1).astype(np.float32)
+    to = np.stack([np.full(n, 1.0), np.full(n, 0.05),
+                   rng.uniform(0.40, 0.60, n)], -1)
+    d = (to - o).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+
+    h3 = intersect_tfdm_v2(geom, oj, dj, fine_size=256, max_steps=512)
+    h2 = intersect_tfdm_v2(geom, oj, dj, fine_size=64, max_steps=512)
+    assert np.array_equal(np.asarray(h3.hit), np.asarray(h2.hit))
+    m = np.asarray(h2.hit)
+    if m.any():
+        assert np.allclose(np.asarray(h3.t)[m], np.asarray(h2.t)[m],
+                           atol=2e-3)
+    s3 = float(np.asarray(h3.steps).mean())
+    s2 = float(np.asarray(h2.steps).mean())
+    assert s3 < 0.9 * s2, (s3, s2)
