@@ -25,70 +25,6 @@ def procedural_height(size: int = 128, kind: str = "ridges") -> np.ndarray:
     return h.astype(np.float32)
 
 
-def displaced_lighting_loop(args, geom, intersect_fn, heat_field):
-    """Shared offline loop for tfdm/nrtdsm: direct lighting of the displaced
-    surface from a fixed area light + constant sky."""
-    import jax.numpy as jnp
-
-    from gfxexp_tpu.core.rng import SampleStream
-    from gfxexp_tpu.render.camera import generate_rays, make_camera
-
-    cam = common.make_camera_from_args(args)
-    w, h = args.width, args.height
-    n = w * h
-    light_pos = jnp.asarray([0.5, 2.5, 0.5])
-    light_radius = 0.4
-    sky = 0.15
-
-    import jax
-
-    @jax.jit
-    def frame(sample):
-        rs = SampleStream(jnp.arange(n, dtype=jnp.uint32), sample, stream=7)
-        jx, jy = rs.next2()
-        o, d = generate_rays(cam, w, h, jx, jy)
-        hit = intersect_fn(o, d)
-        albedo = jnp.asarray([0.65, 0.6, 0.55])
-        # jittered spherical light sample
-        u0, u1 = rs.next2()
-        theta = jnp.arccos(1 - 2 * u0)
-        phi = 2 * jnp.pi * u1
-        lp = light_pos + light_radius * jnp.stack(
-            [jnp.sin(theta) * jnp.cos(phi), jnp.cos(theta),
-             jnp.sin(theta) * jnp.sin(phi)], axis=-1)
-        lvec = lp - hit.position
-        ldist2 = jnp.maximum(jnp.sum(lvec**2, -1), 1e-6)
-        ldir = lvec / jnp.sqrt(ldist2)[:, None]
-        ndl = jnp.maximum(jnp.sum(hit.normal * ldir, -1), 0.0)
-        # shadow: re-trace toward the light against the displaced surface
-        sh = intersect_fn(hit.position + 1e-3 * hit.normal, ldir)
-        lit = ~(sh.hit & (sh.t < jnp.sqrt(ldist2)))
-        direct = 6.0 * ndl * lit / ldist2
-        amb = sky * (0.5 + 0.5 * hit.normal[:, 1])
-        color = albedo[None, :] * (direct + amb)[:, None]
-        color = jnp.where(hit.hit[:, None], color, jnp.asarray([[0.1, 0.12, 0.16]]))
-        return color, hit.steps
-
-    acc = np.zeros((n, 3), np.float64)
-    steps = None
-    timer = common.PassTimer()
-    for f in range(args.frames):
-        color, steps = timer.measure("render", frame, jnp.uint32(f))
-        acc += np.asarray(color)
-    img = (acc / args.frames).reshape(h, w, 3)
-    common.save_outputs(args, img)
-    if heat_field:
-        s = np.asarray(steps).reshape(h, w).astype(np.float64)
-        s = s / max(s.max(), 1.0)
-        from gfxexp_tpu.utils.image_io import save_png
-
-        heat = np.stack([s, 1.0 - np.abs(2 * s - 1), 1.0 - s], axis=-1)
-        save_png(args.output + "_heatmap.png", heat, apply_srgb=False)
-        print(f"wrote {args.output}_heatmap.png")
-    if args.stats:
-        print("final:", timer.report(), file=sys.stderr)
-
-
 def subdivided_plane(n: int, extent: float = 2.0):
     """n x n grid plane on XZ centered at the origin; uv spans [0,1]^2."""
     xs = np.linspace(-extent / 2, extent / 2, n + 1, dtype=np.float32)
