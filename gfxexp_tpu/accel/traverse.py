@@ -174,6 +174,10 @@ def intersect_closest(bvh, tris: TriangleSoA, o, d, t_min=1e-4, t_max=1e30,
         return hit.replace(inst=inst)
     if isinstance(bvh, WideRowBVH):
         return intersect_closest_widestack(bvh, tris, o, d, t_min, t_max)
+    from gfxexp_tpu.accel.pallas_qrow import QRowBVH, intersect_closest_qrow
+
+    if isinstance(bvh, QRowBVH):
+        return intersect_closest_qrow(bvh, tris, o, d, t_min, t_max)
     if isinstance(bvh, SkipBVH):
         if jax.default_backend() == "tpu":
             from gfxexp_tpu.accel.pallas_traverse import intersect_closest_pallas
@@ -201,6 +205,10 @@ def intersect_any(bvh, tris: TriangleSoA, o, d, t_min=1e-4, t_max=1e30,
         return intersect_any_instanced(bvh, o, d, t_min, t_max)
     if isinstance(bvh, WideRowBVH):
         return intersect_any_widestack(bvh, tris, o, d, t_min, t_max)
+    from gfxexp_tpu.accel.pallas_qrow import QRowBVH, intersect_any_qrow
+
+    if isinstance(bvh, QRowBVH):
+        return intersect_any_qrow(bvh, tris, o, d, t_min, t_max)
     if isinstance(bvh, SkipBVH):
         if jax.default_backend() == "tpu":
             from gfxexp_tpu.accel.pallas_traverse import intersect_any_pallas

@@ -82,6 +82,23 @@ def compile_scene(
             spatial_splits=spatial_splits,
         )
         return apply_triangle_permutation(scene, perm), wrow
+    if traversal == "qrow":
+        # quantized compressed rows (reference: CompressedInternalNode_T,
+        # common_shared.h:757): the scene's triangle soup is replaced by
+        # the DEQUANTIZED vertices so shading sees exactly the traced
+        # geometry (shift bounded by the 16-bit leaf quantum)
+        from gfxexp_tpu.accel.pallas_qrow import build_qrow
+
+        qb, perm, (dq0, dqe1, dqe2) = build_qrow(
+            np.asarray(scene.triangles.p0),
+            np.asarray(scene.triangles.e1),
+            np.asarray(scene.triangles.e2),
+            spatial_splits=spatial_splits,
+        )
+        scene = apply_triangle_permutation(scene, perm)
+        scene = scene.replace(triangles=scene.triangles.replace(
+            p0=dq0, e1=dqe1, e2=dqe2))
+        return scene, qb
     bvh, perm = build_bvh(
         np.asarray(scene.triangles.p0),
         np.asarray(scene.triangles.e1),

@@ -445,3 +445,92 @@ def test_sbvh_widerow_matches_bruteforce(rng_np):
     m = np.asarray(brute.hit)
     assert np.allclose(np.asarray(hit.t)[m], np.asarray(brute.t)[m],
                        rtol=1e-4, atol=1e-5)
+
+
+def test_qrow_matches_bruteforce(rng_np):
+    """Quantized-row kernel (arity-8 compressed nodes + 16-bit leaf verts,
+    reference: CompressedInternalNode_T common_shared.h:757) against brute
+    force over the DEQUANTIZED triangle soup — the kernel's exact ground
+    truth; quantization error vs the source verts is bounded separately."""
+    from gfxexp_tpu.accel.pallas_qrow import (
+        build_qrow,
+        intersect_any_qrow,
+        intersect_closest_qrow,
+    )
+
+    p0, p1, p2 = _random_tri_soup(rng_np, 300)
+    qb, perm, (dq0, dqe1, dqe2) = build_qrow(p0, p1 - p0, p2 - p0)
+    # vertex quantization error bound: 16-bit vs the leaf box extent
+    assert np.abs(dq0 - p0[perm]).max() < 1e-3
+    soa = _make_soa(dq0, dq0 + dqe1, dq0 + dqe2)
+
+    n_rays = 400
+    o = rng_np.uniform(-8, 8, size=(n_rays, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+
+    hq = intersect_closest_qrow(qb, soa, oj, dj)
+    hr = intersect_closest_brute(soa, oj, dj)
+    assert np.array_equal(np.asarray(hq.hit), np.asarray(hr.hit))
+    m = np.asarray(hr.hit)
+    assert np.allclose(np.asarray(hq.t)[m], np.asarray(hr.t)[m], rtol=1e-4)
+    assert np.array_equal(np.asarray(hq.tri)[m], np.asarray(hr.tri)[m])
+    occ = intersect_any_qrow(qb, soa, oj, dj)
+    assert np.array_equal(np.asarray(occ), m)
+
+
+def test_qrow_chunked_matches_bruteforce(rng_np):
+    """Chunked quantized tables (tiny max_rows forces several chunks +
+    per-tile culled worklists) agree with brute force."""
+    from gfxexp_tpu.accel.pallas_qrow import (
+        build_qrow,
+        intersect_closest_qrow,
+    )
+
+    p0, p1, p2 = _random_tri_soup(rng_np, 600, spread=6.0)
+    qb, perm, (dq0, dqe1, dqe2) = build_qrow(p0, p1 - p0, p2 - p0,
+                                             max_rows=64)
+    assert qb.num_chunks > 2, qb.num_chunks
+    soa = _make_soa(dq0, dq0 + dqe1, dq0 + dqe2)
+    n_rays = 300
+    o = rng_np.uniform(-9, 9, size=(n_rays, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+    hq = intersect_closest_qrow(qb, soa, oj, dj)
+    hr = intersect_closest_brute(soa, oj, dj)
+    assert np.array_equal(np.asarray(hq.hit), np.asarray(hr.hit))
+    m = np.asarray(hr.hit)
+    assert np.allclose(np.asarray(hq.t)[m], np.asarray(hr.t)[m], rtol=1e-4)
+    assert np.array_equal(np.asarray(hq.tri)[m], np.asarray(hr.tri)[m])
+
+
+def test_qrow_render_matches_widerow():
+    """Full pipeline through the quantized structure: the qrow render of
+    the box scene matches the widerow render to quantization + MC noise."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from scenes import box_scene
+
+    from gfxexp_tpu.render.camera import make_camera
+    from gfxexp_tpu.render.pathtrace import PTConfig, render_sample
+    from gfxexp_tpu.scene.compile import compile_scene
+
+    cam = make_camera([0, 0.5, 1.9], fov_y=np.deg2rad(75), aspect=1.0,
+                      target=[0, 0.3, -1.0])
+    imgs = []
+    for traversal in ("widerow", "qrow"):
+        scene, bvh = compile_scene(box_scene(), traversal=traversal)
+        acc = np.zeros((48 * 48, 3), np.float64)
+        for s in range(4):
+            acc += np.asarray(render_sample(scene, bvh, cam, 48, 48,
+                                            jnp.uint32(s), PTConfig()))
+        imgs.append(acc / 4)
+    a, b = imgs
+    assert np.isfinite(b).all()
+    # same RNG + same (epsilon-shifted) geometry: near-identical images
+    denom = np.abs(a).mean() + 1e-6
+    assert np.abs(a - b).mean() / denom < 0.02, \
+        np.abs(a - b).mean() / denom
