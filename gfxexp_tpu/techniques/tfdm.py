@@ -145,6 +145,15 @@ def _uv_transform(params: DisplacementParameters, uv):
     return uv @ rot.T + jnp.asarray(params.uv_offset, jnp.float32)
 
 
+def _uv_np(params: DisplacementParameters, uv):
+    """Numpy twin of _uv_transform (host-side build must not dispatch
+    device ops — CLAUDE.md)."""
+    c = np.cos(params.uv_rotation)
+    s = np.sin(params.uv_rotation)
+    rot = np.asarray([[c, -s], [s, c]], np.float64) * params.uv_scale
+    return np.asarray(uv, np.float64) @ rot.T + np.asarray(params.uv_offset)
+
+
 def build_tfdm_geometry(positions, indices, uvs, height, params=None,
                         material: int = 0, normals=None) -> TFDMGeometry:
     """Host-side build: per-triangle conservative AABBs over
@@ -165,13 +174,44 @@ def build_tfdm_geometry(positions, indices, uvs, height, params=None,
     p0, p1, p2 = positions[i0], positions[i1], positions[i2]
     n0, n1, n2 = normals[i0], normals[i1], normals[i2]
 
-    # global conservative height interval (reference descends the pyramid to
-    # targetMipLevel for tighter bounds; whole-map interval is level L-1)
-    hmin = float(np.asarray(mm.levels[mm.n_levels - 1, 0, 0, 0]))
-    hmax = float(np.asarray(mm.levels[mm.n_levels - 1, 0, 0, 1]))
-    d_lo = params.h_offset + params.h_scale * (hmin - params.h_bias)
-    d_hi = params.h_offset + params.h_scale * (hmax - params.h_bias)
-    d_lo, d_hi = min(d_lo, d_hi), max(d_lo, d_hi)
+    # PER-TRIANGLE height interval from the minmax pyramid over each
+    # triangle's uv footprint (reference: computeAABBs,
+    # tfdm_preprocess_kernels.cu:159 — per-tri bounds, not the global
+    # interval; tightens the broad phase so grazing rays enter far fewer
+    # prism AABBs). Footprints spanning a full texture period (wrap) fall
+    # back to the whole-map interval.
+    s = _height_channel0(height).shape[0]
+    levels = np.asarray(mm.levels)
+    hmin_g = float(levels[mm.n_levels - 1, 0, 0, 0])
+    hmax_g = float(levels[mm.n_levels - 1, 0, 0, 1])
+    uvs_t = np.stack([_uv_np(params, uvs[i]) for i in (i0, i1, i2)], 1)
+    uv_lo = uvs_t.min(axis=1)  # [B, 2]
+    uv_hi = uvs_t.max(axis=1)
+    hmin = np.full(len(i0), hmin_g, np.float64)
+    hmax = np.full(len(i0), hmax_g, np.float64)
+    span = (uv_hi - uv_lo).max(axis=1)
+    fit = span < 1.0 - 1e-6
+    if fit.any():
+        # pick the level where the footprint spans <= ~4 texels (finer
+        # levels keep the +-1-texel patch-support pad from dragging in
+        # far-away features; <= ~6x6 reads per triangle, host-side)
+        for b in np.nonzero(fit)[0]:
+            lvl = int(np.clip(np.ceil(np.log2(max(span[b] * s, 1e-9) / 4.0)),
+                              0, mm.n_levels - 1))
+            sz = s >> lvl
+            x0 = int(np.floor(uv_lo[b, 0] * sz)) - 1
+            x1 = int(np.floor(uv_hi[b, 0] * sz)) + 1
+            y0 = int(np.floor(uv_lo[b, 1] * sz)) - 1
+            y1 = int(np.floor(uv_hi[b, 1] * sz)) + 1
+            xs = np.arange(x0, x1 + 1) % sz
+            ys = np.arange(y0, y1 + 1) % sz
+            blk = levels[lvl][np.ix_(ys, xs)]
+            hmin[b] = blk[..., 0].min()
+            hmax[b] = blk[..., 1].max()
+    d0 = params.h_offset + params.h_scale * (hmin - params.h_bias)
+    d1 = params.h_offset + params.h_scale * (hmax - params.h_bias)
+    d_lo = np.minimum(d0, d1)[:, None]  # [B, 1]
+    d_hi = np.maximum(d0, d1)[:, None]
 
     corners = []
     for pv, nv in ((p0, n0), (p1, n1), (p2, n2)):

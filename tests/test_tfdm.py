@@ -386,3 +386,33 @@ def test_tfdm_v2_three_level_descent():
     s3 = float(np.asarray(h3.steps).mean())
     s2 = float(np.asarray(h2.steps).mean())
     assert s3 < 0.9 * s2, (s3, s2)
+
+
+def test_tfdm_per_triangle_aabb_tightening():
+    """Per-triangle footprint height intervals (reference: computeAABBs)
+    make flat-region prisms THIN: the grazing ray of the dense-overlap
+    scene at y=0.3 no longer enters them (their displaced interval tops
+    out at 0.05+eps), while the wall prisms still span high."""
+    s = 64
+    height = np.full((s, s), 0.1, np.float32)
+    height[:, 56:60] = 0.9
+    positions, indices, uvs, normals = _subdivided_plane(16)
+    geom = build_tfdm_geometry(positions, indices, uvs, height,
+                               params=DisplacementParameters(h_scale=0.5),
+                               normals=normals)
+    lo = np.asarray(geom.aabb_min)
+    hi = np.asarray(geom.aabb_max)
+    # flat-region prisms: uv x-footprint clear of the wall columns
+    uv0 = np.asarray(geom.uv0)
+    uv1 = np.asarray(geom.uv1)
+    uv2 = np.asarray(geom.uv2)
+    ux = np.stack([uv0[:, 0], uv1[:, 0], uv2[:, 0]], 1)
+    flat_sel = ux.max(1) < 0.8  # wall lives at u in [0.875, 0.94]
+    wall_sel = (ux.min(1) > 0.85) & (ux.max(1) < 0.95)
+    assert flat_sel.sum() > 50 and wall_sel.sum() > 2
+    # flat prisms top out near 0.05 (0.1 * h_scale), far below 0.45
+    assert hi[flat_sel, 1].max() < 0.15, hi[flat_sel, 1].max()
+    assert hi[wall_sel, 1].max() > 0.4
+    # the LOWER bound tightens as well: flat prisms bottom out at the
+    # 0.05 displaced floor (minus pad), not at 0
+    assert np.all(lo[flat_sel, 1] > 0.03)
