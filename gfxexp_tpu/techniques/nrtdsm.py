@@ -514,3 +514,89 @@ def intersect_nrtdsm_v2(geom: NRTDSMGeometry, o, d, t_min=1e-4, t_max=1e30,
         position=o + best_t[:, None] * d,
         normal=best_nrm, uv=best_uv, prim=best_prim, steps=steps_total,
     )
+
+
+# ---------------------------------------------------------------------------
+# exact curved-ray tests (reference: nrtdsm_intersection_kernels.h —
+# testNonlinearRayVsAabb :1013-1260, testNonlinearRayVsMicroTriangle
+# :498-1012; validated like the reference's sandbox, SURVEY.md §4)
+# ---------------------------------------------------------------------------
+
+
+def nonlinear_ray_vs_aabb(tc2, tc1, tc0, den2, den1, den0, h_lo, h_hi,
+                          box_lo, box_hi):
+    """Conservative overlap of the texture-space curve
+    q(h) = ((tc2 h^2 + tc1 h + tc0) / den(h), h) for h in [h_lo, h_hi]
+    against an AABB in (u, v, h) space.
+
+    The numerator/denominator polynomials are bounded with AFFINE
+    arithmetic over the shared height symbol (core/interval.py — h and
+    h^2 stay correlated, unlike plain intervals), then divided as
+    intervals; a denominator interval straddling zero returns
+    overlap=True (conservative). Vectorized over leading dims."""
+    from gfxexp_tpu.core.interval import (
+        aa_poly2,
+        aa_to_iv,
+        aa_var,
+        iv,
+        iv_mul,
+        iv_overlaps,
+        iv_recip,
+    )
+
+    h = aa_var(h_lo, h_hi, 0, 1)
+    nu = aa_to_iv(aa_poly2(tc2[..., 0], tc1[..., 0], tc0[..., 0], h))
+    nv = aa_to_iv(aa_poly2(tc2[..., 1], tc1[..., 1], tc0[..., 1], h))
+    dd = aa_to_iv(aa_poly2(den2, den1, den0, h))
+    rec = iv_recip(dd)
+    u_iv = iv_mul(nu, rec)
+    v_iv = iv_mul(nv, rec)
+    ok_u = iv_overlaps(u_iv, iv(box_lo[..., 0], box_hi[..., 0]))
+    ok_v = iv_overlaps(v_iv, iv(box_lo[..., 1], box_hi[..., 1]))
+    ok_h = (h_lo <= box_hi[..., 2]) & (h_hi >= box_lo[..., 2])
+    return ok_u & ok_v & ok_h
+
+
+def nonlinear_ray_vs_micro_triangle(tc2, tc1, tc0, den2, den1, den0,
+                                    pa, pb, pc, h_lo, h_hi):
+    """Exact first hit of the texture-space curve against a triangle in
+    (u, v, h) space (reference: testNonlinearRayVsMicroTriangle,
+    nrtdsm_intersection_kernels.h:498).
+
+    Substituting u(h) = Nu(h)/D(h), v(h) = Nv(h)/D(h) into the triangle's
+    plane equation n . q = c and multiplying through by D(h) yields an
+    EXACT cubic in h:
+      n_u Nu + n_v Nv + n_h h D - c D = 0.
+    The first root inside [h_lo, h_hi] (scan + bisection,
+    solve_cubic_in_interval) is then checked for barycentric containment.
+    Returns (hit, h_root, b1, b2). Vectorized over leading dims."""
+    e1 = pb - pa
+    e2 = pc - pa
+    n = jnp.cross(e1, e2)
+    c = jnp.sum(n * pa, -1)
+    nu_, nv_, nh_ = n[..., 0], n[..., 1], n[..., 2]
+    k3 = nh_ * den2
+    k2 = (nu_ * tc2[..., 0] + nv_ * tc2[..., 1] + nh_ * den1 - c * den2)
+    k1 = (nu_ * tc1[..., 0] + nv_ * tc1[..., 1] + nh_ * den0 - c * den1)
+    k0 = nu_ * tc0[..., 0] + nv_ * tc0[..., 1] - c * den0
+    coeffs = jnp.stack(jnp.broadcast_arrays(k0, k1, k2, k3), axis=-1)
+    h, found = solve_cubic_in_interval(coeffs, h_lo, h_hi,
+                                       n_scan=16, n_bisect=24)
+    den = den2 * h * h + den1 * h + den0
+    den_ok = jnp.abs(den) > 1e-12
+    safe = jnp.where(den_ok, den, 1.0)
+    u = (tc2[..., 0] * h * h + tc1[..., 0] * h + tc0[..., 0]) / safe
+    v = (tc2[..., 1] * h * h + tc1[..., 1] * h + tc0[..., 1]) / safe
+    q = jnp.stack([u, v, h], -1)
+    # barycentrics in the triangle plane
+    d00 = jnp.sum(e1 * e1, -1)
+    d01 = jnp.sum(e1 * e2, -1)
+    d11 = jnp.sum(e2 * e2, -1)
+    det = jnp.maximum(d00 * d11 - d01 * d01, 1e-20)
+    rel = q - pa
+    qa = jnp.sum(rel * e1, -1)
+    qb = jnp.sum(rel * e2, -1)
+    b1 = (d11 * qa - d01 * qb) / det
+    b2 = (d00 * qb - d01 * qa) / det
+    inside = (b1 >= -1e-4) & (b2 >= -1e-4) & (b1 + b2 <= 1.0 + 1e-4)
+    return found & den_ok & inside, h, b1, b2

@@ -143,3 +143,160 @@ def test_nonlinear_displacement_intersection():
         assert bool(found[0])
         assert abs(float(h[0]) - c) < 5e-3, float(h[0])
     assert np.all(np.asarray(hit.steps) > 0)
+
+
+def test_interval_affine_inclusion():
+    """Interval/affine library (core/interval.py, reference
+    affine_arithmetic.h): bounds must CONTAIN dense samples of random
+    quadratics, and affine bounds must be tighter than naive interval
+    evaluation (the correlation between h and h^2)."""
+    from gfxexp_tpu.core.interval import (
+        aa_poly2,
+        aa_to_iv,
+        aa_var,
+        iv,
+        iv_add,
+        iv_mul,
+        iv_sqr,
+    )
+
+    rng = np.random.default_rng(17)
+    c2 = rng.normal(size=32).astype(np.float32)
+    c1 = rng.normal(size=32).astype(np.float32)
+    c0 = rng.normal(size=32).astype(np.float32)
+    lo = rng.uniform(-2, 1, 32).astype(np.float32)
+    hi = lo + rng.uniform(0.1, 2, 32).astype(np.float32)
+
+    h = aa_var(jnp.asarray(lo), jnp.asarray(hi), 0, 1)
+    blo, bhi = aa_to_iv(aa_poly2(jnp.asarray(c2), jnp.asarray(c1),
+                                 jnp.asarray(c0), h))
+    ts = np.linspace(0, 1, 257)[None]
+    xs = lo[:, None] + (hi - lo)[:, None] * ts
+    vals = c2[:, None] * xs**2 + c1[:, None] * xs + c0[:, None]
+    assert np.all(np.asarray(blo)[:, None] <= vals + 1e-4)
+    assert np.all(np.asarray(bhi)[:, None] >= vals - 1e-4)
+
+    # naive interval evaluation for comparison
+    x_iv = iv(jnp.asarray(lo), jnp.asarray(hi))
+    naive = iv_add(iv_add(iv_mul(iv(jnp.asarray(c2)), iv_sqr(x_iv)),
+                          iv_mul(iv(jnp.asarray(c1)), x_iv)),
+                   iv(jnp.asarray(c0)))
+    w_aa = np.asarray(bhi - blo)
+    w_iv = np.asarray(naive[1] - naive[0])
+    # affine forms are tighter ON AVERAGE (they can be wider for ranges
+    # straddling zero, where iv_sqr's zero-floor beats the condensed
+    # quadratic term — a known AA property)
+    assert w_aa.mean() < 0.95 * w_iv.mean()
+
+
+def _curve_setup(rng):
+    """A tilted prism + world rays -> texture-space curve coefficients
+    and a dense oracle evaluation of the curve."""
+    from gfxexp_tpu.techniques.nrtdsm import (
+        compute_canonical_space_ray_coeffs,
+        compute_texture_space_ray_coeffs,
+    )
+
+    p_a = jnp.asarray([0.0, 0.0, 0.0])
+    p_b = jnp.asarray([1.0, 0.0, 0.1])
+    p_c = jnp.asarray([0.2, 0.0, 1.0])
+    n_a = jnp.asarray([0.3, 1.0, 0.0])
+    n_b = jnp.asarray([0.0, 1.0, 0.25])
+    n_c = jnp.asarray([-0.2, 1.0, -0.1])
+    n_a, n_b, n_c = (x / jnp.linalg.norm(x) for x in (n_a, n_b, n_c))
+    tc_a = jnp.asarray([0.0, 0.0])
+    tc_b = jnp.asarray([1.0, 0.0])
+    tc_c = jnp.asarray([0.0, 1.0])
+    o = jnp.asarray([0.45, 1.2, 0.35])
+    dvec = jnp.asarray([-0.2, -1.0, 0.15])
+    dvec = dvec / jnp.linalg.norm(dvec)
+    # e0/e1 span the plane orthogonal to the ray
+    up = jnp.asarray([1.0, 0.0, 0.0])
+    e0 = jnp.cross(dvec, up)
+    e0 = e0 / jnp.linalg.norm(e0)
+    e1 = jnp.cross(dvec, e0)
+    bc2, bc1, bc0, d2, d1, d0 = compute_canonical_space_ray_coeffs(
+        o, e0, e1, p_a, p_b, p_c, n_a, n_b, n_c)
+    tc2, tc1, tc0 = compute_texture_space_ray_coeffs(
+        tc_a, tc_b, tc_c, bc2, bc1, bc0, d2, d1, d0)
+
+    def curve_uv(h):
+        den = d2 * h * h + d1 * h + d0
+        return np.stack(
+            [np.asarray(tc2[..., i]) * h * h + np.asarray(tc1[..., i]) * h
+             + np.asarray(tc0[..., i]) for i in (0, 1)], -1) / den[..., None]
+
+    return (tc2, tc1, tc0, d2, d1, d0), curve_uv
+
+
+def test_nonlinear_ray_vs_aabb_inclusion():
+    """The AA curve bounds contain the true curve: any texel box touched
+    by dense curve samples must report overlap, and a far-away box must
+    not (the bound is tight enough to cull)."""
+    from gfxexp_tpu.techniques.nrtdsm import nonlinear_ray_vs_aabb
+
+    rng = np.random.default_rng(7)
+    coeffs, curve_uv = _curve_setup(rng)
+    tc2, tc1, tc0, d2, d1, d0 = coeffs
+    h_lo, h_hi = jnp.float32(0.05), jnp.float32(0.35)
+    hs = np.linspace(0.05, 0.35, 300)
+    uvs = curve_uv(hs)  # [300, 2]
+
+    # boxes containing curve samples MUST overlap
+    for i in (0, 150, 299):
+        blo = jnp.asarray([uvs[i, 0] - 0.01, uvs[i, 1] - 0.01,
+                           hs[i] - 0.01])
+        bhi = jnp.asarray([uvs[i, 0] + 0.01, uvs[i, 1] + 0.01,
+                           hs[i] + 0.01])
+        ok = nonlinear_ray_vs_aabb(tc2, tc1, tc0, d2, d1, d0,
+                                   h_lo, h_hi, blo, bhi)
+        assert bool(ok), i
+    # a box far outside the curve's uv range must be culled
+    span = uvs.max(0) - uvs.min(0)
+    blo = jnp.asarray([uvs[:, 0].max() + 3 * span[0] + 0.5,
+                       uvs[:, 1].min(), 0.0])
+    bhi = blo + 0.05
+    assert not bool(nonlinear_ray_vs_aabb(tc2, tc1, tc0, d2, d1, d0,
+                                          h_lo, h_hi, blo, bhi))
+
+
+def test_nonlinear_ray_vs_micro_triangle_exact():
+    """The cubic-substitution root matches a dense-march oracle of the
+    curve crossing a texture-space triangle."""
+    from gfxexp_tpu.techniques.nrtdsm import nonlinear_ray_vs_micro_triangle
+
+    rng = np.random.default_rng(7)
+    coeffs, curve_uv = _curve_setup(rng)
+    tc2, tc1, tc0, d2, d1, d0 = coeffs
+    hs = np.linspace(0.05, 0.35, 4001)
+    uvs = curve_uv(hs)
+
+    # build a triangle in (u, v, h) that the curve pierces at h ~ 0.2:
+    # take the curve point there and spread a triangle around it at a
+    # slightly tilted plane h = 0.2 + 0.3 (u - u0)
+    i0 = 2000
+    u0, v0 = uvs[i0]
+    pa = jnp.asarray([u0 - 0.08, v0 - 0.05, 0.2 + 0.3 * (-0.08)])
+    pb = jnp.asarray([u0 + 0.10, v0 - 0.05, 0.2 + 0.3 * (0.10)])
+    pc = jnp.asarray([u0 + 0.00, v0 + 0.12, 0.2 + 0.3 * (0.00)])
+    hit, h_root, b1, b2 = nonlinear_ray_vs_micro_triangle(
+        tc2, tc1, tc0, d2, d1, d0, pa, pb, pc,
+        jnp.float32(0.05), jnp.float32(0.35))
+    assert bool(hit)
+
+    # oracle: march the curve, find where it crosses the triangle plane
+    n = np.cross(np.asarray(pb - pa), np.asarray(pc - pa))
+    cpl = float(np.dot(n, np.asarray(pa)))
+    fvals = (n[0] * uvs[:, 0] + n[1] * uvs[:, 1] + n[2] * hs) - cpl
+    sgn = np.sign(fvals)
+    crossings = np.nonzero(sgn[:-1] != sgn[1:])[0]
+    assert crossings.size >= 1
+    h_oracle = hs[crossings[0]]
+    assert abs(float(h_root) - h_oracle) < 2e-4, (float(h_root), h_oracle)
+
+    # a triangle the curve misses (shifted far in u) must not hit
+    off = jnp.asarray([5.0, 0.0, 0.0])
+    hit2, _, _, _ = nonlinear_ray_vs_micro_triangle(
+        tc2, tc1, tc0, d2, d1, d0, pa + off, pb + off, pc + off,
+        jnp.float32(0.05), jnp.float32(0.35))
+    assert not bool(hit2)
