@@ -142,6 +142,8 @@ def main():
     scene = jax.tree_util.tree_map(jnp.asarray, scene)
     bvh = jax.tree_util.tree_map(jnp.asarray, bvh)
     build_s = time.time() - t0
+    sys.stderr.write(f"bench: scene built in {build_s:.1f}s; compiling...\n")
+    sys.stderr.flush()
 
     if big:
         camera = make_camera(
@@ -159,6 +161,8 @@ def main():
     img, nrays = render_sample(scene, bvh, camera, WIDTH, HEIGHT, jnp.uint32(0), cfg)
     np.asarray(img)
     compile_s = time.time() - t0
+    sys.stderr.write(f"bench: compiled+first sample in {compile_s:.1f}s; warming...\n")
+    sys.stderr.flush()
     for s in range(1, WARMUP_SAMPLES):
         img, nrays = render_sample(scene, bvh, camera, WIDTH, HEIGHT, jnp.uint32(s), cfg)
     np.asarray(img)

@@ -1,15 +1,16 @@
 #!/usr/bin/env python
-"""Per-pass timing breakdown of the headline bench configuration on TPU.
+"""Per-pass breakdown of the headline render (VERDICT r2 item 3: find the
+24 -> ~11 Mrays/s gap between kernel-only traversal and the full path).
 
-Times each component of the render loop in isolation (VERDICT r2 item 3):
-- full render_sample at several max_path_length values (marginal bounce cost)
-- NEE on/off delta (shadow-trace + light-sampling cost)
-- raw closest-hit traversal on primary rays and on cached bounce rays
-- raw any-hit traversal (shadow-ray profile)
+Times, per sample on the bench scene (host-copy fenced, warmed):
+  trace1   primary closest-hit only
+  traceB   a bounce-like incoherent closest-hit population
+  shadow   the NEE any-hit population
+  surface  closest + compute_surface_point + BSDF param fetch
+  render   full render_sample
+  qrow     full render_sample through the quantized structure
 
-Timing rules (CLAUDE.md): first ~4 executions of a fresh program run 2-6x
-slow -> warm 6; block_until_ready can return early -> fence with a host copy;
-queue >=REPS executions per measurement to pipeline the ~2 ms dispatch.
+Run on TPU (the only JAX process): python perf/pass_breakdown.py [big]
 """
 
 from __future__ import annotations
@@ -29,102 +30,112 @@ enable_compile_cache()
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from bench import WIDTH, HEIGHT, build_bench_scene  # noqa: E402
-from gfxexp_tpu.render.camera import make_camera  # noqa: E402
-from gfxexp_tpu.render.pathtrace import PTConfig, render_sample  # noqa: E402
+import bench  # noqa: E402
+from gfxexp_tpu.render.camera import (  # noqa: E402
+    generate_rays_for_lanes,
+    make_camera,
+    pixel_from_lane,
+)
+from gfxexp_tpu.render.pathtrace import (  # noqa: E402
+    PTConfig,
+    render_sample,
+)
 
-WARM = 6
-REPS = 12
+
+def fence(x):
+    return np.asarray(jax.tree_util.tree_leaves(x)[0])
 
 
-def timeit(label, fn, reps=REPS):
-    for i in range(WARM):
-        out = fn(i)
-    jax.tree_util.tree_map(np.asarray, out)
+def timeit(name, fn, *args, reps=8, warm=6):
+    for _ in range(warm):
+        out = fn(*args)
+    fence(out)
     t0 = time.time()
-    outs = None
-    for i in range(reps):
-        outs = fn(WARM + i)
-    jax.tree_util.tree_map(np.asarray, outs)  # host copy = honest fence
+    for _ in range(reps):
+        out = fn(*args)
+    fence(out)
     ms = (time.time() - t0) / reps * 1e3
-    print(f"{label:55s} {ms:9.2f} ms")
+    print(f"{name:10s} {ms:8.2f} ms")
     return ms
 
 
 def main():
-    scene, bvh = build_bench_scene(big="big" in sys.argv[1:])
+    big = "big" in sys.argv[1:]
+    scene, bvh = bench.build_bench_scene(big=big)
     scene = jax.tree_util.tree_map(jnp.asarray, scene)
     bvh = jax.tree_util.tree_map(jnp.asarray, bvh)
-    camera = make_camera([0.0, 0.8, 1.6], fov_y=np.deg2rad(45),
-                         aspect=WIDTH / HEIGHT, target=[0.0, 0.2, 0.0])
-    n = WIDTH * HEIGHT
-    print(f"scene: {scene.num_triangles} tris, {n} pixels")
+    W = H = bench.WIDTH
+    cam = make_camera([0.0, 2.2, 3.4] if big else [0.0, 0.8, 1.6],
+                      fov_y=np.deg2rad(45), aspect=1.0,
+                      target=[0.0, 0.1, 0.0] if big else [0.0, 0.2, 0.0])
+    n = W * H
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    pixel = pixel_from_lane(lane, W, H)
+    half = jnp.full((n,), 0.5, jnp.float32)
+    o, d = generate_rays_for_lanes(cam, W, H, pixel, half, half)
+    o, d = np.asarray(o), np.asarray(d)
 
-    # ---- full pipeline at varying path length ----
-    base = {}
-    for L in (1, 2, 3, 5):
-        cfg = PTConfig(max_path_length=L)
-        base[L] = timeit(
-            f"render_sample L={L} (NEE on)",
-            lambda s, cfg=cfg: render_sample(scene, bvh, camera, WIDTH,
-                                             HEIGHT, jnp.uint32(s), cfg))
-    for L in (1, 5):
-        cfg = PTConfig(max_path_length=L, use_explicit_light_sampling=False)
-        timeit(f"render_sample L={L} (NEE off)",
-               lambda s, cfg=cfg: render_sample(scene, bvh, camera, WIDTH,
-                                                HEIGHT, jnp.uint32(s), cfg))
-    cfg = PTConfig(max_path_length=5, use_explicit_light_sampling=False,
-                   use_implicit_light_sampling=True, enable_jitter=False)
-    timeit("render_sample L=5 (NEE off, no jitter)",
-           lambda s: render_sample(scene, bvh, camera, WIDTH, HEIGHT,
-                                   jnp.uint32(s), cfg))
+    from gfxexp_tpu.accel.traverse import intersect_any, intersect_closest
 
-    # ---- raw traversal kernels ----
-    from gfxexp_tpu.accel.pallas_widestack import (
-        WideRowBVH, intersect_any_widestack, intersect_closest_widestack)
-    from gfxexp_tpu.render.camera import generate_rays_for_lanes, pixel_from_lane
+    @jax.jit
+    def trace(o, d):
+        return intersect_closest(bvh, scene.triangles, jnp.asarray(o),
+                                 jnp.asarray(d))
 
-    if isinstance(bvh, WideRowBVH):
-        lane = jnp.arange(n, dtype=jnp.uint32)
-        pixel = pixel_from_lane(lane, WIDTH, HEIGHT)
-        jx = jy = jnp.full((n,), 0.5, jnp.float32)
-        ray_o, ray_d = generate_rays_for_lanes(camera, WIDTH, HEIGHT, pixel, jx, jy)
-        ray_o, ray_d = jnp.asarray(ray_o), jnp.asarray(ray_d)
+    @jax.jit
+    def occl(o, d):
+        return intersect_any(bvh, scene.triangles, jnp.asarray(o),
+                             jnp.asarray(d))
 
-        closest = jax.jit(lambda o, d, tmax: intersect_closest_widestack(
-            bvh, scene.triangles, o, d, t_min=0.0, t_max=tmax))
-        anyh = jax.jit(lambda o, d, tmax: intersect_any_widestack(
-            bvh, scene.triangles, o, d, t_min=0.0, t_max=tmax))
-        ones = jnp.ones((n,), jnp.float32) * 1e30
+    # incoherent bounce-like population: primary hits + hemisphere dirs
+    hit = trace(o, d)
+    t_np = np.asarray(hit.t)
+    hit_np = np.asarray(hit.hit)
+    pos = o + np.minimum(t_np, 100.0)[:, None] * d
+    rng = np.random.default_rng(0)
+    bd = rng.normal(size=(n, 3)).astype(np.float32)
+    bd /= np.linalg.norm(bd, axis=-1, keepdims=True)
+    bo = np.where(hit_np[:, None], pos - 1e-3 * d, o).astype(np.float32)
 
-        ms = timeit("closest: primary rays (coherent)",
-                    lambda s: closest(ray_o + 1e-6 * s, ray_d, ones))
-        print(f"    -> {n / ms / 1e3:.1f} Mrays/s")
+    ms1 = timeit("trace1", trace, o, d)
+    msB = timeit("traceB", trace, bo, bd)
+    msS = timeit("shadow", occl, bo, bd)
 
-        # bounce-profile rays: hit points + cosine directions (incoherent)
-        hit = closest(ray_o, ray_d, ones)
-        key = jax.random.PRNGKey(0)
-        v = jax.random.normal(key, (n, 3))
-        v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
-        bo = np.asarray(ray_o + hit.t[:, None] * ray_d * 0.999)
-        bd = np.asarray(v)
-        alive_frac = float(np.asarray(hit.hit).mean())
-        bo, bd = jnp.asarray(bo), jnp.asarray(bd)
-        tmax_alive = jnp.where(hit.hit, 1e30, -1.0)
-        ms = timeit("closest: bounce rays (incoherent, all alive)",
-                    lambda s: closest(bo + 1e-6 * s, bd, ones))
-        print(f"    -> {n / ms / 1e3:.1f} Mrays/s")
-        ms = timeit(f"closest: bounce rays (alive={alive_frac:.2f} masked)",
-                    lambda s: closest(bo + 1e-6 * s, bd, tmax_alive))
-        ms = timeit("any-hit: shadow profile (alive-masked)",
-                    lambda s: anyh(bo + 1e-6 * s, bd, tmax_alive))
-        print(f"    -> {n / ms / 1e3:.1f} Mrays/s")
+    @jax.jit
+    def surface(o, d):
+        from gfxexp_tpu.render.bsdf import material_params_textured
+        from gfxexp_tpu.render.pathtrace import (
+            compute_surface_point,
+            pack_tri_attrs,
+        )
 
-    # marginal costs
-    print("\nderived:")
-    print(f"  L=1 frame (primary+NEE+shade): {base[1]:.1f} ms")
-    if 5 in base and 3 in base:
-        print(f"  marginal bounce (L3->L5)/2:    {(base[5]-base[3])/2:.1f} ms")
+        h = intersect_closest(bvh, scene.triangles, jnp.asarray(o),
+                              jnp.asarray(d))
+        packed = pack_tri_attrs(scene.triangles, scene)
+        sp = compute_surface_point(scene, h.tri, h.u, h.v, inst=h.inst,
+                                   packed=packed)
+        params = material_params_textured(scene.materials, scene.textures,
+                                          sp.material, sp.texcoord)
+        return params.diffuse.sum() + sp.position.sum()
+
+    msSu = timeit("surface", surface, o, d)
+
+    cfg = PTConfig(max_path_length=bench.MAX_PATH_LENGTH, count_rays=True)
+
+    def full(s):
+        img, nrays = render_sample(scene, bvh, cam, W, H, jnp.uint32(s), cfg)
+        return img
+
+    msR = timeit("render", full, jnp.uint32(3))
+
+    # rays/sample for context
+    _, nrays = render_sample(scene, bvh, cam, W, H, jnp.uint32(3), cfg)
+    nrays = float(np.asarray(nrays))
+    print(f"rays/sample {nrays/1e6:.2f} M -> full-path "
+          f"{nrays/msR/1e3:.1f} Mrays/s")
+    print(f"glue estimate: render {msR:.1f} vs "
+          f"L*(trace+shadow) ~ {bench.MAX_PATH_LENGTH * (msB + msS):.1f} "
+          f"(coherent first bounce overstates)")
 
 
 if __name__ == "__main__":

@@ -57,3 +57,21 @@ if not _NEEDS_REEXEC:
 @pytest.fixture
 def rng_np():
     return np.random.default_rng(1234)
+
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jax_memory_per_module():
+    """Release compiled executables between test modules: the full suite
+    accumulates every module's jitted programs in one process and the
+    heaviest late modules (tfdm's unrolled v1 marcher) started
+    segfaulting once the suite grew past ~120 tests (r3). Cross-module
+    compile reuse is negligible; per-module recompiles are cheap next to
+    a SIGSEGV."""
+    yield
+    gc.collect()
+    jax.clear_caches()

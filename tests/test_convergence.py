@@ -179,3 +179,48 @@ def test_svgf_converges_to_pt(conv_scene):
     assert rmse < 0.15 * float(ref.mean()) + 4.0 * np.sqrt(
         (err_ref**2).mean()), (rmse, ref.mean())
     assert abs(got.mean() - ref.mean()) / ref.mean() < 0.08
+
+
+def test_instanced_converges_to_flattened():
+    """Two-level (BLAS/instance) rendering of a multi-instance scene must
+    converge to the SAME image as the flattened single-level compile of
+    identical geometry — the structural check that instanced traversal,
+    world-space transforms, and instanced light tables agree end-to-end
+    (the small-scale stand-in for the Bistro-class fidelity bar)."""
+    from scenes import box_scene  # noqa: F401 (import keeps path set up)
+
+    from gfxexp_tpu.scene.builder import SceneBuilder, affine
+
+    def build():
+        b = SceneBuilder()
+        floor = b.add_lambert_material((0.75, 0.75, 0.75))
+        red = b.add_lambert_material((0.8, 0.25, 0.2))
+        lamp = b.add_lambert_material((0, 0, 0), emittance=(90.0,) * 3)
+        fg = b.add_rectangle(4.0, 4.0, floor)
+        b.add_instance(fg)
+        lg = b.add_rectangle(0.6, 0.6, lamp)
+        flip = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float64)
+        b.add_instance(lg, affine(rotation=flip, translation=[0, 1.8, 0]))
+        sg = b.add_sphere(0.22, red, n_theta=8, n_phi=16)
+        for gx in range(3):
+            for gz in range(2):
+                b.add_instance(sg, affine(
+                    translation=[(gx - 1) * 0.8, 0.22, (gz - 0.5) * 0.8]))
+        return b
+
+    cam = make_camera([0.0, 1.5, 2.6], fov_y=np.deg2rad(45), aspect=1.0,
+                      target=[0, 0.1, 0])
+    cfg = PTConfig(max_path_length=4)
+    frames = 48
+
+    scene_f, bvh_f = compile_scene(build(), traversal="widerow")
+    mean_f, sem_f = _pt_converged(scene_f, bvh_f, cam, cfg, frames)
+    scene_i, bvh_i = compile_scene(build(), traversal="instanced")
+    mean_i, sem_i = _pt_converged(scene_i, bvh_i, cam, cfg, frames,
+                                  seed0=1000)
+    rmse = _rmse(mean_f, mean_i)
+    # within a few combined standard errors of the MC noise
+    noise = float(np.sqrt((sem_f**2 + sem_i**2).mean()))
+    assert rmse < 4.0 * noise + 1e-3, (rmse, noise)
+    # and the images genuinely show the spheres (not both black)
+    assert mean_f.mean() > 0.01

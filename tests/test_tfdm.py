@@ -416,3 +416,40 @@ def test_tfdm_per_triangle_aabb_tightening():
     # the LOWER bound tightens as well: flat prisms bottom out at the
     # 0.05 displaced floor (minus pad), not at 0
     assert np.all(lo[flat_sel, 1] > 0.03)
+
+
+def test_tfdm_10k_base_triangles_pipeline():
+    """Reference-scale base mesh: a 72x72 grid (10368 prisms) displaced
+    mesh renders through the COMMON path-traced pipeline (the broad phase
+    streams ray chunks, so the [rays, prisms] intermediates stay bounded)
+    and primary hits land on the displaced surface."""
+    import jax.numpy as jnp
+
+    from gfxexp_tpu.render.camera import make_camera
+    from gfxexp_tpu.render.pathtrace import PTConfig, render_sample
+    from gfxexp_tpu.scene.builder import SceneBuilder, affine
+    from gfxexp_tpu.scene.compile import compile_scene
+
+    s = 128
+    yy, xx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+    height = (0.5 + 0.5 * np.sin(xx * 0.4) * np.cos(yy * 0.3)) \
+        .astype(np.float32)
+    positions, indices, uvs, normals = _subdivided_plane(72)
+    assert len(indices) == 2 * 72 * 72  # 10368 base triangles
+
+    b = SceneBuilder()
+    lamp = b.add_lambert_material((0, 0, 0), emittance=(100.0,) * 3)
+    flip = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float64)
+    b.add_instance(b.add_rectangle(0.8, 0.8, lamp),
+                   affine(rotation=flip, translation=[0.5, 2.0, 0.5]))
+    disp = b.add_lambert_material((0.6, 0.55, 0.5))
+    b.add_displaced(positions, indices, uvs, height,
+                    params=DisplacementParameters(h_scale=0.2),
+                    material=disp, kind="tfdm", normals=normals)
+    scene, bvh = compile_scene(b, traversal="widerow")
+    cam = make_camera([0.5, 1.2, 1.9], fov_y=np.deg2rad(45), aspect=1.0,
+                      target=[0.5, 0.1, 0.5])
+    img = np.asarray(render_sample(scene, bvh, cam, 20, 20, jnp.uint32(1),
+                                   PTConfig(max_path_length=2)))
+    assert np.isfinite(img).all()
+    assert img.mean() > 1e-3, img.mean()  # lit displaced surface visible
