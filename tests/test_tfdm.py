@@ -453,3 +453,53 @@ def test_tfdm_10k_base_triangles_pipeline():
                                    PTConfig(max_path_length=2)))
     assert np.isfinite(img).all()
     assert img.mean() > 1e-3, img.mean()  # lit displaced surface visible
+
+
+def test_tfdm_bvh_broad_phase_matches_scan():
+    """The skip-walk box-BVH broad phase must stream candidates in the
+    SAME lexicographic (near, id) order as the O(B) sweep — identical
+    hits on the dense-overlap scene whose grazing rays enter dozens of
+    prisms (ties included: rays starting inside several AABBs share
+    near == t_min)."""
+    from gfxexp_tpu.techniques.tfdm import (
+        build_prism_bvh,
+        build_tfdm_geometry,
+        intersect_tfdm_v2,
+    )
+
+    s = 64
+    height = np.full((s, s), 0.1, np.float32)
+    height[:, 56:60] = 0.9
+    positions, indices, uvs, normals = _subdivided_plane(16)
+    geom = build_tfdm_geometry(positions, indices, uvs, height,
+                               params=DisplacementParameters(h_scale=0.5),
+                               normals=normals)
+    assert geom.prism_bvh is None  # 512 prisms: below the auto threshold
+    geom_b = geom.replace(prism_bvh=build_prism_bvh(
+        np.asarray(geom.aabb_min), np.asarray(geom.aabb_max)))
+
+    rng = np.random.default_rng(9)
+    n = 160
+    o = np.empty((n, 3), np.float32)
+    d = np.empty((n, 3), np.float32)
+    h = n // 2
+    # grazing rays skimming the flat region toward the wall
+    o[:h] = np.stack([np.zeros(h), rng.uniform(0.28, 0.34, h),
+                      rng.uniform(0.1, 0.9, h)], -1)
+    d[:h] = np.stack([np.ones(h), rng.uniform(-0.05, 0.0, h),
+                      rng.normal(0, 0.02, h)], -1)
+    # plus rays from above and from INSIDE the prism slab (t_min ties)
+    o[h:] = np.stack([rng.uniform(0, 1, n - h),
+                      rng.uniform(0.02, 1.0, n - h),
+                      rng.uniform(0, 1, n - h)], -1)
+    d[h:] = rng.normal(size=(n - h, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+
+    h_s = intersect_tfdm_v2(geom, oj, dj)
+    h_b = intersect_tfdm_v2(geom_b, oj, dj)
+    assert np.array_equal(np.asarray(h_s.hit), np.asarray(h_b.hit))
+    m = np.asarray(h_s.hit)
+    assert np.array_equal(np.asarray(h_s.prim)[m], np.asarray(h_b.prim)[m])
+    assert np.allclose(np.asarray(h_s.t)[m], np.asarray(h_b.t)[m],
+                       rtol=1e-6, atol=1e-7)
