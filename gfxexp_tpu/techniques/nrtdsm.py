@@ -235,6 +235,8 @@ class NRTDSMGeometry:
     material: int = struct.field(pytree_node=False, default=0)
     params: DisplacementParameters = struct.field(
         pytree_node=False, default=DisplacementParameters())
+    # skip-walk box BVH over prism AABBs for large base meshes
+    prism_bvh: object = None
 
 
 def build_nrtdsm_geometry(positions, indices, uvs, height, params=None,
@@ -256,6 +258,21 @@ def build_nrtdsm_geometry(positions, indices, uvs, height, params=None,
     h = np.asarray(height, np.float32)
     if h.ndim == 3:
         h = h[..., 0]
+    prism_bvh = None
+    if len(i0) >= 2048:
+        from gfxexp_tpu.techniques.tfdm import build_prism_bvh
+
+        dlo, dhi = min(d_lo, d_hi) - 1e-5, max(d_lo, d_hi) + 1e-5
+        corners = np.stack([
+            positions[i0] + dlo * normals[i0],
+            positions[i1] + dlo * normals[i1],
+            positions[i2] + dlo * normals[i2],
+            positions[i0] + dhi * normals[i0],
+            positions[i1] + dhi * normals[i1],
+            positions[i2] + dhi * normals[i2],
+        ], axis=1)
+        prism_bvh = build_prism_bvh(corners.min(axis=1) - 1e-5,
+                                    corners.max(axis=1) + 1e-5)
     return NRTDSMGeometry(
         p0=jnp.asarray(positions[i0]), p1=jnp.asarray(positions[i1]),
         p2=jnp.asarray(positions[i2]),
@@ -265,7 +282,7 @@ def build_nrtdsm_geometry(positions, indices, uvs, height, params=None,
         uv2=jnp.asarray(uvs[i2]),
         height=jnp.asarray(h), minmax=mm,
         h_lo=min(d_lo, d_hi) - 1e-5, h_hi=max(d_lo, d_hi) + 1e-5,
-        material=material, params=params,
+        material=material, params=params, prism_bvh=prism_bvh,
     )
 
 
@@ -507,7 +524,7 @@ def intersect_nrtdsm_v2(geom: NRTDSMGeometry, o, d, t_min=1e-4, t_max=1e30,
 
     best_t, best_prim, best_uv, best_nrm, steps_total = iterate_candidates(
         lo, hi, o, d, t_min, t_max, k_candidates, state0, process,
-        lambda st: st[0])
+        lambda st: st[0], prism_bvh=getattr(geom, "prism_bvh", None))
 
     return NRTDSMHit(
         t=best_t, hit=best_prim >= 0,

@@ -61,6 +61,8 @@ class ShellGeometry:
     # with measured normal tilt. Used when intersect_shell gets
     # n_segments=None.
     auto_segments: int = struct.field(pytree_node=False, default=16)
+    # skip-walk box BVH over prism AABBs for large base meshes
+    prism_bvh: object = None
 
 
 def build_shell_geometry(positions, indices, uvs, shell_positions,
@@ -114,6 +116,22 @@ def build_shell_geometry(positions, indices, uvs, shell_positions,
     p = params
     d_lo = p.h_offset + p.h_scale * (0.0 - p.h_bias)
     d_hi = p.h_offset + p.h_scale * (1.0 - p.h_bias)
+    h_lo_w = float(min(d_lo, d_hi))
+    h_hi_w = float(max(d_lo, d_hi))
+    prism_bvh = None
+    if len(i0) >= 2048:
+        from gfxexp_tpu.techniques.tfdm import build_prism_bvh
+
+        corners = np.stack([
+            positions[i0] + h_lo_w * normals[i0],
+            positions[i1] + h_lo_w * normals[i1],
+            positions[i2] + h_lo_w * normals[i2],
+            positions[i0] + h_hi_w * normals[i0],
+            positions[i1] + h_hi_w * normals[i1],
+            positions[i2] + h_hi_w * normals[i2],
+        ], axis=1)
+        prism_bvh = build_prism_bvh(corners.min(axis=1) - 1e-5,
+                                    corners.max(axis=1) + 1e-5)
     auto_segments = _estimate_shell_segments(
         np.stack([positions[i0], positions[i1], positions[i2]], axis=1),
         np.stack([normals[i0], normals[i1], normals[i2]], axis=1),
@@ -130,6 +148,7 @@ def build_shell_geometry(positions, indices, uvs, shell_positions,
         shell_mat=jnp.asarray(shell_mat),
         h_lo=float(min(d_lo, d_hi)), h_hi=float(max(d_lo, d_hi)),
         material=material, params=params, auto_segments=auto_segments,
+        prism_bvh=prism_bvh,
     )
 
 
@@ -371,7 +390,8 @@ def intersect_shell(geom: ShellGeometry, o, d, t_min=1e-4, t_max=1e30,
 
     best_t, best_prim, best_uv, best_nrm, best_mat, steps_total = (
         iterate_candidates(lo, hi, o, d, t_min, t_max, k_candidates, state0,
-                           process, lambda st: st[0]))
+                           process, lambda st: st[0],
+                           prism_bvh=getattr(geom, "prism_bvh", None)))
 
     return ShellHit(
         t=best_t, hit=best_prim >= 0,
