@@ -969,14 +969,26 @@ def _traverse_instanced(acc: InstancedAccel, o, d, t_min, t_max,
     )
     rays = comps.reshape(8, g, tile).transpose(1, 0, 2)
 
-    best_t, best_tri, best_u, best_v, _, best_chunk = _run_instanced(
-        acc.nodes, acc.blas_ids, acc.inv_transforms, rays,
-        n_rows_tab=acc.nodes.shape[1], arity=acc.arity, width=acc.width,
-        max_leaf=acc.max_leaf, stack_depth=stack_depth, any_hit=any_hit,
-        rows=rows,
-        chunk_lo=getattr(acc, "chunk_lo", None),
-        chunk_hi=getattr(acc, "chunk_hi", None),
-    )
+    if acc.width == 32:  # quantized BLAS tables (pallas_qrow format)
+        from gfxexp_tpu.accel.pallas_qrow import _run_instanced_q
+
+        best_t, best_tri, best_u, best_v, _, best_chunk = _run_instanced_q(
+            acc.nodes, acc.blas_ids, acc.inv_transforms, rays,
+            n_rows_tab=acc.nodes.shape[1],
+            stack_depth=int(acc.max_depth + 2) * 7, any_hit=any_hit,
+            rows=rows,
+            chunk_lo=getattr(acc, "chunk_lo", None),
+            chunk_hi=getattr(acc, "chunk_hi", None),
+        )
+    else:
+        best_t, best_tri, best_u, best_v, _, best_chunk = _run_instanced(
+            acc.nodes, acc.blas_ids, acc.inv_transforms, rays,
+            n_rows_tab=acc.nodes.shape[1], arity=acc.arity, width=acc.width,
+            max_leaf=acc.max_leaf, stack_depth=stack_depth, any_hit=any_hit,
+            rows=rows,
+            chunk_lo=getattr(acc, "chunk_lo", None),
+            chunk_hi=getattr(acc, "chunk_hi", None),
+        )
     flat = lambda x: x.reshape(n_pad)[:n_rays]
     best_tri = flat(best_tri)
     best_chunk = flat(best_chunk)
@@ -1227,7 +1239,7 @@ def intersect_closest_instanced(acc: InstancedAccel, o, d, t_min=1e-4,
     instance bench scene (the sort/permute glue costs more than the
     extra coherence buys), kept for A/B on scenes with more instances."""
     if tlas and getattr(acc, "chunk_lo", None) is not None \
-            and acc.num_instances > 1:
+            and acc.num_instances > 1 and acc.width != 32:
         return _traverse_instanced_tlas(acc, o, d, t_min, t_max,
                                         any_hit=False, rows=rows)
     return _traverse_instanced(acc, o, d, t_min, t_max, any_hit=False,
@@ -1238,7 +1250,7 @@ def intersect_any_instanced(acc: InstancedAccel, o, d, t_min=1e-4,
                             t_max=1e30, rows: int = ROWS,
                             tlas: bool = False):
     if tlas and getattr(acc, "chunk_lo", None) is not None \
-            and acc.num_instances > 1:
+            and acc.num_instances > 1 and acc.width != 32:
         hit, _ = _traverse_instanced_tlas(acc, o, d, t_min, t_max,
                                           any_hit=True, rows=rows)
         return hit.hit

@@ -558,7 +558,8 @@ class SceneBuilder:
         )
 
 
-    def compile_instanced(self, arity: int = 4, max_leaf: int = 4):
+    def compile_instanced(self, arity: int = 4, max_leaf: int = 4,
+                          node_format: str = "widerow"):
         """Two-level compile: per-group BLAS tables shared by instances
         (the reference's GAS/IAS split, common_host.h:1027 updateASs).
 
@@ -567,7 +568,12 @@ class SceneBuilder:
         the group); light-order arrays are per-UNIT (instance x geom) with
         world-space importances, and light_tri_index maps light-order
         positions to global BLAS triangle ids. N instances of a group share
-        one triangle table — memory no longer scales with instance count."""
+        one triangle table — memory no longer scales with instance count.
+
+        node_format="qrow" builds QUANTIZED per-BLAS tables
+        (accel/pallas_qrow.py — 128 B rows, ~2.5x more triangles resident
+        per instance visit); the object-space triangle arrays are then the
+        DEQUANTIZED vertices so shading matches the traced geometry."""
         from gfxexp_tpu.accel.pallas_widestack import build_instanced
 
         if not self.instances:
@@ -620,11 +626,20 @@ class SceneBuilder:
             cursor += local
 
         # ---- build BLAS BVHs (permutes each blas's triangles) ----
-        acc, perms = build_instanced(
-            [(b[0]["p0"], b[0]["e1"], b[0]["e2"]) for b in blas_raw],
-            [(inst_blas[i], self.instances[i].transform)
-             for i in range(len(self.instances))],
-            arity=arity, max_leaf=max_leaf)
+        dq = None
+        if node_format == "qrow":
+            from gfxexp_tpu.accel.pallas_qrow import build_instanced_q
+
+            acc, perms, dq = build_instanced_q(
+                [(b[0]["p0"], b[0]["e1"], b[0]["e2"]) for b in blas_raw],
+                [(inst_blas[i], self.instances[i].transform)
+                 for i in range(len(self.instances))])
+        else:
+            acc, perms = build_instanced(
+                [(b[0]["p0"], b[0]["e1"], b[0]["e2"]) for b in blas_raw],
+                [(inst_blas[i], self.instances[i].transform)
+                 for i in range(len(self.instances))],
+                arity=arity, max_leaf=max_leaf)
         # apply per-blas permutations; track old->new local index for the
         # light-order mapping (light order stays GEOMETRY order)
         blas_cat = {k: [] for k in blas_raw[0][0]}
@@ -639,6 +654,9 @@ class SceneBuilder:
         triangles = TriangleSoA(
             **{("unit_id" if k == "unit" else k):
                np.concatenate(blas_cat[k]) for k in blas_cat})
+        if dq is not None:
+            # shading must see the dequantized vertices the kernel traces
+            triangles = triangles.replace(p0=dq[0], e1=dq[1], e2=dq[2])
 
         # ---- units: instance-major, group order ----
         unit_material, unit_instance = [], []

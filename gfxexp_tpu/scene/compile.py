@@ -65,10 +65,14 @@ def compile_scene(
     bvh_builder.cpp:313): straddling triangles are clipped into multiple
     leaves; the permuted triangle arrays then carry duplicates (hits may
     report either copy — identical shading attributes)."""
-    if traversal == "instanced":
+    if traversal in ("instanced", "instanced_qrow"):
         # two-level BLAS/instance mode (GAS/IAS analogue): the builder
-        # produces object-space shared tables + the InstancedAccel directly
-        return builder.compile_instanced(arity=arity, max_leaf=max_leaf)
+        # produces object-space shared tables + the InstancedAccel
+        # directly; "instanced_qrow" uses quantized 128-byte BLAS rows
+        return builder.compile_instanced(
+            arity=arity, max_leaf=max_leaf,
+            node_format="qrow" if traversal == "instanced_qrow"
+            else "widerow")
     scene = builder.compile(
         use_probability_texture=use_probability_texture)
     if traversal == "widerow":
