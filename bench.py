@@ -32,7 +32,7 @@ TIMED_SAMPLES = 16
 TARGET_MRAYS = 100.0
 
 
-def build_bench_scene(big: bool = False):
+def build_bench_scene(big: bool = False, fmt: str = None):
     """Teapot + bunny + area light + floor (reference README's path_tracing
     recipe shape). Cached — the host-side BVH build dominates cold time.
 
@@ -43,8 +43,10 @@ def build_bench_scene(big: bool = False):
     from gfxexp_tpu.scene.compile import compile_scene
     from gfxexp_tpu.scene.loaders import load_obj
 
+    if fmt is None:
+        fmt = "instanced" if big else "widerow"
     cache_file = os.path.join(
-        _CACHE, "bench_scene_big_v9.pkl" if big else "bench_scene_v9.pkl")
+        _CACHE, f"bench_scene_{'big_' if big else ''}{fmt}_v10.pkl")
     if os.path.exists(cache_file):
         try:
             with open(cache_file, "rb") as f:
@@ -115,9 +117,9 @@ def build_bench_scene(big: bool = False):
         bunny_at(0.35, 0.0)
 
     # big: two-level instancing (36 teapots+bunnies share 2 BLAS tables —
-    # memory does not scale with the instance count)
-    pair = compile_scene(b, arity=4, max_leaf=4,
-                         traversal="instanced" if big else "widerow")
+    # memory does not scale with the instance count); fmt overrides let
+    # perf probes A/B the traversal structure (qrow = quantized rows)
+    pair = compile_scene(b, arity=4, max_leaf=4, traversal=fmt)
     os.makedirs(_CACHE, exist_ok=True)
     with open(cache_file, "wb") as f:
         import jax
@@ -137,8 +139,12 @@ def main():
     from gfxexp_tpu.render.pathtrace import PTConfig, render_sample
 
     big = "big" in sys.argv[1:]
+    fmt = None
+    for a in sys.argv[1:]:
+        if a in ("widerow", "qrow", "instanced", "instanced_qrow"):
+            fmt = a
     t0 = time.time()
-    scene, bvh = build_bench_scene(big=big)
+    scene, bvh = build_bench_scene(big=big, fmt=fmt)
     scene = jax.tree_util.tree_map(jnp.asarray, scene)
     bvh = jax.tree_util.tree_map(jnp.asarray, bvh)
     build_s = time.time() - t0
