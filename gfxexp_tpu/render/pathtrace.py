@@ -99,6 +99,14 @@ class PTConfig:
     # distance heuristic (reference: mipmapped cudau::Array sampling,
     # cuda_util.h:897). Requires SceneBuilder(texture_mips=True).
     texture_lod: bool = False
+    # batch each bounce's NEE shadow rays with the NEXT bounce's closest
+    # rays into ONE traversal launch (the reference's megakernel traces
+    # both from one program, optix_pathtracing_kernels.cu:73-300): halves
+    # kernel launches per bounce at the cost of closest-hit work on
+    # shadow rays (no any-hit early exit). Identical estimator — NEE
+    # visibility is applied one step deferred. Ignored with displaced
+    # geometry, ray sorting/compaction, or a custom nee_fn.
+    fuse_shadow_rays: bool = False
 
     @property
     def use_mis(self):
@@ -324,13 +332,12 @@ def _intersect_closest_sorted(bvh, tris, ray_o, ray_d, alive):
                    inst=None if hit.inst is None else hit.inst[inv])
 
 
-def _next_event(scene, bvh, sp: SurfacePoint, v_out_local, frame, params, rs,
-                cfg: PTConfig, alive=None, light_packed=None):
-    """NEE with MIS (reference: performNextEventEstimation,
-    optix_pathtracing_kernels.cu:18-48 + performDirectLighting,
-    path_tracing_shared.h:419-457). Returns [R, 3] contribution. `alive`
-    masks the shadow-ray tmax so dead/zero-potential lanes cost the
-    traverser nothing (on late bounces most lanes are dead)."""
+def _next_event_setup(scene, sp: SurfacePoint, v_out_local, frame, params,
+                      rs, cfg: PTConfig, alive=None, light_packed=None):
+    """Everything of NEE except the occlusion trace: light sample, MIS
+    weight, unshadowed contribution, and the shadow ray. Returns
+    (contrib_unshadowed [R, 3], shadow_dir [R, 3], shadow_tmax [R]) —
+    shadow_tmax < 0 on non-contributing lanes (zero traversal work)."""
     t, b, n = frame
     u_light = rs.next()
     u0, u1 = rs.next2()
@@ -373,20 +380,33 @@ def _next_event(scene, bvh, sp: SurfacePoint, v_out_local, frame, params, rs,
     # tmax < 0 on non-contributing lanes = zero traversal work
     shadow_tmax = jnp.where(ls.at_infinity, 1e10, dist * 0.9999)
     shadow_tmax = jnp.where(potential, shadow_tmax, -1.0)
-    occluded = intersect_any(
-        bvh, scene.triangles, sp.position, shadow_dir, t_min=0.0, t_max=shadow_tmax
-    )
-    if scene.displaced and cfg.displaced_shadows:
-        occluded = occluded | _displaced_occluded(
-            scene, sp.position, shadow_dir, shadow_tmax)
-    visible = potential & ~occluded
 
     le = ls.emittance / _PI  # diffuse emitter
     f_val = bsdf_evaluate(params, v_out_local, v_in_local)
     g = lp_cos * jnp.abs(sp_cos) / dist2
     g = jnp.where(ls.at_infinity, jnp.abs(sp_cos), g)  # env: dist=1, lpCos=1
     contrib = f_val * le * (g * mis / jnp.maximum(ls.pdf, 1e-30))[..., None]
-    return jnp.where(visible[..., None], contrib, 0.0)
+    contrib = jnp.where(potential[..., None], contrib, 0.0)
+    return contrib, shadow_dir, shadow_tmax
+
+
+def _next_event(scene, bvh, sp: SurfacePoint, v_out_local, frame, params, rs,
+                cfg: PTConfig, alive=None, light_packed=None):
+    """NEE with MIS (reference: performNextEventEstimation,
+    optix_pathtracing_kernels.cu:18-48 + performDirectLighting,
+    path_tracing_shared.h:419-457). Returns [R, 3] contribution. `alive`
+    masks the shadow-ray tmax so dead/zero-potential lanes cost the
+    traverser nothing (on late bounces most lanes are dead)."""
+    contrib, shadow_dir, shadow_tmax = _next_event_setup(
+        scene, sp, v_out_local, frame, params, rs, cfg, alive,
+        light_packed)
+    occluded = intersect_any(
+        bvh, scene.triangles, sp.position, shadow_dir, t_min=0.0, t_max=shadow_tmax
+    )
+    if scene.displaced and cfg.displaced_shadows:
+        occluded = occluded | _displaced_occluded(
+            scene, sp.position, shadow_dir, shadow_tmax)
+    return jnp.where(occluded[..., None], 0.0, contrib)
 
 
 def render_lanes(
@@ -457,6 +477,10 @@ def render_lanes(
     tri_packed = pack_tri_attrs(scene.triangles, scene)
     light_packed = pack_light_rows(scene) if cfg.use_explicit_light_sampling else None
 
+    fuse = (cfg.fuse_shadow_rays and cfg.use_explicit_light_sampling
+            and nee_fn is None and not scene.displaced
+            and not cfg.sort_secondary_rays and not cfg.compact_rays)
+
     # Bounce loop structure: peel the first bounce (MIS weights are 1 there),
     # lax.scan the uniform middle bounces, peel the last (collect-only — no
     # NEE / no direction sample). Three traversal-kernel instantiations total
@@ -464,7 +488,8 @@ def render_lanes(
     # byte-identical output (RNG is counter-based, streams keyed by bounce).
     def step(state, bounce, first: bool, collect_only: bool):
         (ray_o, ray_d, throughput, alive, prev_pdf, contribution,
-         pixel, lane_ids, rays_traced, nee_aux) = state
+         pixel, lane_ids, rays_traced, nee_aux, pending) = state
+        p_contrib, p_o, p_d, p_tmax = pending
         if cfg.compact_rays and not first:
             # stable alive-first partition: dead lanes collect into whole
             # rows, which exit the row-traversal kernels in one step. O(n)
@@ -482,7 +507,24 @@ def render_lanes(
         rs = SampleStream(pixel, sample_idx, stream=bounce)
         if cfg.count_rays:
             rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
-        if cfg.sort_secondary_rays and not first and not scene.displaced:
+        if fuse:
+            # ONE traversal launch per step: this bounce's closest rays
+            # batched with the PREVIOUS bounce's NEE shadow rays (whose
+            # visibility resolves here, one step deferred)
+            bo = jnp.concatenate([ray_o, p_o], axis=0)
+            bd = jnp.concatenate([ray_d, p_d], axis=0)
+            btmax = jnp.concatenate([jnp.where(alive, 1e30, -1.0), p_tmax])
+            bhit = intersect_closest(bvh, scene.triangles, bo, bd,
+                                     t_min=0.0, t_max=btmax)
+            from gfxexp_tpu.accel.traverse import HitInfo as _HI
+
+            hit = _HI(t=bhit.t[:n], tri=bhit.tri[:n], u=bhit.u[:n],
+                      v=bhit.v[:n], hit=bhit.hit[:n],
+                      inst=None if bhit.inst is None else bhit.inst[:n])
+            # p_contrib already carries throughput + gating masks
+            contribution = contribution + jnp.where(
+                bhit.hit[n:][..., None], 0.0, p_contrib)
+        elif cfg.sort_secondary_rays and not first and not scene.displaced:
             hit = _intersect_closest_sorted(bvh, scene.triangles, ray_o,
                                             ray_d, alive)
         else:
@@ -490,6 +532,10 @@ def render_lanes(
             tmax = jnp.where(alive, 1e30, -1.0)
             hit = intersect_closest(bvh, scene.triangles, ray_o, ray_d,
                                     t_min=0.0, t_max=tmax)
+        # empty pending (tmax < 0 = no-op shadow rays); replaced when NEE
+        # emits below
+        pending_next = (jnp.zeros((n, 3), jnp.float32), ray_o, ray_d,
+                        jnp.full((n,), -1.0, jnp.float32))
         disp = _displaced_closest(
             scene, ray_o, ray_d, jnp.where(alive, hit.t, -1.0))
         if disp is not None:
@@ -612,7 +658,7 @@ def render_lanes(
             throughput = throughput / jnp.maximum(cont_prob, 1e-8)[..., None]
         if collect_only:
             return (ray_o, ray_d, throughput, alive, prev_pdf, contribution,
-                    pixel, lane_ids, rays_traced, nee_aux)
+                    pixel, lane_ids, rays_traced, nee_aux, pending_next)
 
         # ---- NEE ---------------------------------------------------------
         lod = None
@@ -641,17 +687,32 @@ def render_lanes(
         if cfg.use_explicit_light_sampling:
             if cfg.count_rays:
                 rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
-            if nee_fn is not None:
+            if fuse:
+                # emit the shadow ray for the NEXT step's batched launch;
+                # throughput + gates fold into the pending contribution now
+                nee_c, sdir, stmax = _next_event_setup(
+                    scene, sp_off, v_out_local, (t, b, nrm), params, rs,
+                    cfg, alive, light_packed=light_packed)
+                gate = (alive & ~dbg_no_nee)[..., None]
+                pending_next = (
+                    jnp.where(gate, throughput * nee_c, 0.0),
+                    pos_off, sdir,
+                    jnp.where(gate[..., 0], stmax, -1.0),
+                )
+            elif nee_fn is not None:
                 nee, nee_aux = nee_fn(scene, bvh, sp_off, v_out_local,
                                       (t, b, nrm), params, rs, cfg, alive,
                                       nee_aux)
+                contribution = contribution + jnp.where(
+                    (alive & ~dbg_no_nee)[..., None], throughput * nee, 0.0
+                )
             else:
                 nee = _next_event(scene, bvh, sp_off, v_out_local, (t, b, nrm),
                                   params, rs, cfg, alive,
                                   light_packed=light_packed)
-            contribution = contribution + jnp.where(
-                (alive & ~dbg_no_nee)[..., None], throughput * nee, 0.0
-            )
+                contribution = contribution + jnp.where(
+                    (alive & ~dbg_no_nee)[..., None], throughput * nee, 0.0
+                )
 
         # ---- sample next direction --------------------------------------
         u0, u1 = rs.next2()
@@ -662,12 +723,14 @@ def render_lanes(
         alive = alive & valid
         v_in = to_world(t, b, nrm, v_in_local)
         return (pos_off, normalize(v_in), throughput, alive, pdf, contribution,
-                pixel, lane_ids, rays_traced, nee_aux)
+                pixel, lane_ids, rays_traced, nee_aux, pending_next)
 
     L = cfg.max_path_length
     lane_ids = jnp.arange(n, dtype=jnp.int32)
+    pending0 = (jnp.zeros((n, 3), jnp.float32), ray_o, ray_d,
+                jnp.full((n,), -1.0, jnp.float32))
     state = (ray_o, ray_d, throughput, alive, prev_pdf, contribution,
-             pixel, lane_ids, rays_traced, nee_aux)
+             pixel, lane_ids, rays_traced, nee_aux, pending0)
     state = step(state, jnp.uint32(1), first=True, collect_only=(L == 1))
     if L > 2:
         def scan_body(s, bounce):

@@ -187,3 +187,35 @@ def test_probability_texture_light_sampling():
     pt = render(True)
     rel = abs(pt.mean() - base.mean()) / base.mean()
     assert rel < 0.05, (pt.mean(), base.mean())
+
+
+def test_fused_shadow_rays_identical():
+    """fuse_shadow_rays batches NEE shadow rays with the next bounce's
+    closest rays in one launch; the estimator is unchanged (same RNG
+    stream, same visibility booleans) so the image must match the
+    unfused render to float tolerance."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from scenes import box_scene
+
+    from gfxexp_tpu.scene.compile import compile_scene
+
+    scene, bvh = compile_scene(box_scene())
+    cam = make_camera([0, 0.5, 1.9], fov_y=np.deg2rad(75), aspect=1.0,
+                      target=[0, 0.3, -1.0])
+    a = np.asarray(render_sample(scene, bvh, cam, 32, 32, jnp.uint32(5),
+                                 PTConfig(max_path_length=4)))
+    b = np.asarray(render_sample(
+        scene, bvh, cam, 32, 32, jnp.uint32(5),
+        PTConfig(max_path_length=4, fuse_shadow_rays=True)))
+    assert np.allclose(a, b, rtol=1e-5, atol=1e-6), np.abs(a - b).max()
+
+    # ray accounting matches too
+    _, nr_a = render_sample(scene, bvh, cam, 32, 32, jnp.uint32(5),
+                            PTConfig(max_path_length=4, count_rays=True))
+    _, nr_b = render_sample(
+        scene, bvh, cam, 32, 32, jnp.uint32(5),
+        PTConfig(max_path_length=4, count_rays=True,
+                 fuse_shadow_rays=True))
+    assert float(nr_a) == float(nr_b)
