@@ -65,6 +65,19 @@ def main(argv=None):
             args.width, args.height, jnp.uint32(f - sample_key), cfg,
             jnp.uint32(debug_switches))
         film = add_sample(film, radiance.reshape(args.height, args.width, 3))
+        if rig is not None and rig.pick_requests:
+            # pick-under-cursor readback (reference:
+            # path_tracing_main.cpp:1541-1567): one G-buffer render at the
+            # current camera, inspected at the clicked pixel
+            from gfxexp_tpu.render.gbuffer import render_gbuffer
+
+            gb = render_gbuffer(scene, bvh, camera, camera, args.width,
+                                args.height, jnp.uint32(f),
+                                enable_jitter=False)
+            for (pu, pv) in rig.take_picks():
+                px = min(max(int(pu * args.width), 0), args.width - 1)
+                py = min(max(int(pv * args.height), 0), args.height - 1)
+                viewer.set_pick(common.pick_info(scene, gb, px, py))
         common.viewer_update(
             viewer, film.beauty, f + 1,
             brightness=rig.brightness if rig is not None else 1.0)

@@ -42,6 +42,8 @@ class LiveViewer:
         self._frame = 0
         self._lock = threading.Lock()
         self._events = []
+        self._pick = ""
+
         viewer = self
 
         page = f"""<!doctype html><html><head><title>{title}</title>
@@ -60,12 +62,17 @@ max-height:80vh;cursor:grab}}#panel{{margin:6px}}button{{margin:2px}}
   oninput="send({{action:'brightness',log2:parseFloat(this.value)}})">
 </div>
 <img id=im src=/frame.png draggable=false>
+<pre id=pick style="text-align:left;margin:8px auto;max-width:60em"></pre>
 <script>
 const send=(ev)=>fetch('/control',{{method:'POST',
   body:JSON.stringify(ev)}});
 let drag=null;
 const im=document.getElementById('im');
-im.addEventListener('mousedown',e=>{{drag=[e.clientX,e.clientY];}});
+im.addEventListener('mousedown',e=>{{
+  if(e.shiftKey){{const r=im.getBoundingClientRect();
+    send({{action:'pick',u:(e.clientX-r.left)/r.width,
+          v:(e.clientY-r.top)/r.height}});return;}}
+  drag=[e.clientX,e.clientY];}});
 window.addEventListener('mouseup',()=>{{drag=null;}});
 window.addEventListener('mousemove',e=>{{if(!drag)return;
   const dx=e.clientX-drag[0],dy=e.clientY-drag[1];drag=[e.clientX,e.clientY];
@@ -79,7 +86,9 @@ window.addEventListener('keydown',e=>{{
   if(m[k])send({{action:'pan',v:m[k]}});}});
 setInterval(()=>{{im.src='/frame.png?'+Date.now();
 fetch('/meta').then(r=>r.text()).then(t=>
-  document.getElementById('f').textContent=t);}},{refresh_ms});
+  document.getElementById('f').textContent=t);
+fetch('/pick').then(r=>r.text()).then(t=>
+  document.getElementById('pick').textContent=t);}},{refresh_ms});
 </script></body></html>"""
 
         class Handler(BaseHTTPRequestHandler):
@@ -96,6 +105,11 @@ fetch('/meta').then(r=>r.text()).then(t=>
                     self.send_response(200)
                     self.end_headers()
                     self.wfile.write(str(viewer._frame).encode())
+                elif self.path.startswith("/pick"):
+                    self.send_response(200)
+                    self.end_headers()
+                    with viewer._lock:
+                        self.wfile.write(viewer._pick.encode())
                 else:
                     self.send_response(200)
                     self.send_header("Content-Type", "text/html")
@@ -128,6 +142,13 @@ fetch('/meta').then(r=>r.text()).then(t=>
         t = threading.Thread(target=self._server.serve_forever, daemon=True)
         t.start()
         print(f"live viewer: http://localhost:{self.port}/", flush=True)
+
+    def set_pick(self, info):
+        """Publish the latest pick-info dict (shown on the page and at
+        GET /pick) — the reference's pick-under-cursor readback
+        (path_tracing_main.cpp:1541-1567)."""
+        with self._lock:
+            self._pick = json.dumps(info, indent=1)
 
     def drain_events(self):
         """All control events POSTed since the last call (render-loop poll)."""
@@ -173,6 +194,7 @@ class CameraRig:
         self.brightness = 1.0
         self.debug_switches = 0
         self.reset_requested = False
+        self.pick_requests = []  # (u, v) normalized image coords
 
     def _frame(self):
         import numpy as np
@@ -233,10 +255,17 @@ class CameraRig:
                 changed = True
             elif a == "brightness":
                 self.brightness = float(2.0 ** float(ev.get("log2", 0.0)))
+            elif a == "pick":
+                self.pick_requests.append((float(ev.get("u", 0.5)),
+                                           float(ev.get("v", 0.5))))
             elif a == "reset":
                 self.reset_requested = True
                 changed = True
         return changed
+
+    def take_picks(self):
+        picks, self.pick_requests = self.pick_requests, []
+        return picks
 
     def make_camera(self, fov_y, aspect):
         from gfxexp_tpu.render.camera import make_camera

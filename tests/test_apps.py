@@ -207,3 +207,50 @@ def test_path_tracing_app_live_interactive(tmp_path, monkeypatch):
     ])
     assert (tmp_path / "live.png").exists()
     assert "port" in ports
+
+
+def test_viewer_pick_roundtrip(tmp_path, monkeypatch):
+    """Shift-click pick: a POSTed pick event flows through the app loop to
+    a G-buffer inspection published at GET /pick."""
+    import json
+    import threading
+    import time
+    import urllib.request
+
+    from gfxexp_tpu.apps import path_tracing
+    from gfxexp_tpu.utils import viewer as viewer_mod
+
+    state = {}
+    orig_init = viewer_mod.LiveViewer.__init__
+
+    def patched_init(self, port=8716, **kw):
+        orig_init(self, port=0, **kw)
+        state["viewer"] = self
+
+        def poke():
+            ev = {"action": "pick", "u": 0.5, "v": 0.55}
+            req = urllib.request.Request(
+                f"http://localhost:{self.port}/control",
+                data=json.dumps(ev).encode(), method="POST")
+            urllib.request.urlopen(req, timeout=5)
+        threading.Timer(0.2, poke).start()
+
+    monkeypatch.setattr(viewer_mod.LiveViewer, "__init__", patched_init)
+    out = tmp_path / "pick"
+    path_tracing.main([
+        "-width", "24", "-height", "24", "-frames", "6",
+        "-max-path-length", "2", "-live", "0",
+        "-cam-pos", "0", "0.5", "1.9", "-fov", "75",
+        "-output", str(out),
+    ])
+    v = state["viewer"]
+    # published pick info names a hit with finite position
+    deadline = time.time() + 5
+    while not v._pick and time.time() < deadline:
+        time.sleep(0.1)
+    info = json.loads(v._pick)
+    assert "hit" in info and "material" in info
+    assert info["hit"] in (True, False)
+    if info["hit"]:
+        assert all(np.isfinite(info["position"]))
+    v.close()
