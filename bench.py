@@ -161,7 +161,8 @@ def main():
             [0.0, 0.8, 1.6], fov_y=np.deg2rad(45), aspect=WIDTH / HEIGHT,
             target=[0.0, 0.2, 0.0],
         )
-    cfg = PTConfig(max_path_length=MAX_PATH_LENGTH, count_rays=True)
+    cfg = PTConfig(max_path_length=MAX_PATH_LENGTH, count_rays=True,
+                   fuse_shadow_rays="fused" in sys.argv[1:])
 
     t0 = time.time()
     img, nrays = render_sample(scene, bvh, camera, WIDTH, HEIGHT, jnp.uint32(0), cfg)
