@@ -44,6 +44,18 @@ def make_arg_parser(name: str) -> argparse.ArgumentParser:
                    help="serve a live progressive view over HTTP (the "
                         "streaming stand-in for the reference's GLFW/ImGui "
                         "window; default port 8716)")
+    p.add_argument("-traversal", type=str, default=None,
+                   choices=["skip", "widerow", "qrow", "instanced",
+                            "instanced_qrow"],
+                   help="acceleration-structure format (default: widerow "
+                        "for static scenes, skip for animated)")
+    p.add_argument("-spatial-splits", action="store_true",
+                   help="SBVH spatial splits at BVH build")
+    p.add_argument("-fused-shadow-rays", action="store_true",
+                   help="batch NEE shadow rays with the next bounce's "
+                        "closest rays in one traversal launch")
+    p.add_argument("-texture-lod", action="store_true",
+                   help="trilinear mip LOD for material textures")
     p.add_argument("-debug-switches", type=int, default=0,
                    help="8-bit runtime debug bitfield forwarded into kernels "
                         "(reference: PerFramePipelineLaunchParameters::"
@@ -93,7 +105,7 @@ def build_scene_from_dsl(args, extra_argv: List[str]):
     from gfxexp_tpu.scene.builder import SceneBuilder, affine
     from gfxexp_tpu.scene.loaders import load_obj
 
-    b = SceneBuilder()
+    b = SceneBuilder(texture_mips=getattr(args, "texture_lod", False))
     controllers: List[InstanceController] = []
     named = {}  # name -> geometry group (list of geometry ids)
     pending_name = "unnamed"

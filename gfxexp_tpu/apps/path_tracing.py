@@ -31,15 +31,20 @@ def main(argv=None):
     builder, controllers = common.build_scene_from_dsl(args, args.scene_args)
     if not builder.instances:
         builder = common.default_demo_builder()
+    traversal = args.traversal or ("skip" if controllers else "widerow")
     scene, bvh = compile_scene(
         builder,
-        # static scenes get the fast wide-row kernel; animated ones
-        # need the refittable skip-link structure
-        traversal="skip" if controllers else "widerow")
+        # static scenes default to the fast wide-row kernel; animated
+        # ones need the refittable skip-link structure
+        traversal=traversal,
+        spatial_splits=args.spatial_splits
+        if traversal in ("widerow", "qrow") else False)
     camera = common.make_camera_from_args(args)
     cfg = PTConfig(max_path_length=args.max_path_length,
                    enable_jitter=not args.no_jitter,
-                   enable_bump_mapping=args.bump)
+                   enable_bump_mapping=args.bump,
+                   fuse_shadow_rays=args.fused_shadow_rays,
+                   texture_lod=args.texture_lod)
 
     film = make_film(args.width, args.height)
     timer = common.PassTimer()
