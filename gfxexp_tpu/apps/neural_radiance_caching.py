@@ -50,9 +50,10 @@ def main(argv=None):
         builder = common.default_demo_builder()
     scene, bvh = compile_scene(
         builder,
-        # static scenes get the fast wide-row kernel; animated ones
-        # need the refittable skip-link structure
-        traversal="skip" if controllers else "widerow")
+        # static scenes default to the fast wide-row kernel; animated
+        # ones need the refittable skip-link structure
+        traversal=args.traversal or ("skip" if controllers else "widerow"),
+        spatial_splits=args.spatial_splits)
     camera = common.make_camera_from_args(args)
     nrc_cfg = NRCConfig(position_encoding=args.position_encoding,
                         num_hidden_layers=args.num_hidden_layers,

@@ -125,7 +125,9 @@ def run_displaced_app(args, kind: str, params, shell_contents=None):
     from gfxexp_tpu.scene.compile import compile_scene
 
     builder = demo_scene(args, kind, params, shell_contents=shell_contents)
-    scene, bvh = compile_scene(builder, traversal="widerow")
+    scene, bvh = compile_scene(builder,
+                               traversal=args.traversal or "widerow",
+                               spatial_splits=args.spatial_splits)
     camera = common.make_camera_from_args(args)
     cfg = PTConfig(max_path_length=args.max_path_length,
                    enable_jitter=not args.no_jitter)
