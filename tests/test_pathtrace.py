@@ -219,3 +219,39 @@ def test_fused_shadow_rays_identical():
         PTConfig(max_path_length=4, count_rays=True,
                  fuse_shadow_rays=True))
     assert float(nr_a) == float(nr_b)
+
+
+def test_golden_box_image():
+    """Golden-image regression (SURVEY.md §4: golden tests at low spp with
+    fixed RNG): the box render must match the committed golden to small
+    numeric tolerance — catches silent estimator/geometry drift that
+    variant-vs-variant comparisons can miss. Regenerate the golden ONLY
+    for intentional estimator changes (script in the test body docstring):
+        python - <<'PY'
+        # see tests/golden/box_8spp_48.npz generation in git history
+        PY
+    """
+    import os
+    import sys
+
+    sys.path.insert(0, "tests")
+    from scenes import box_scene
+
+    from gfxexp_tpu.scene.compile import compile_scene
+
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "box_8spp_48.npz")
+    golden = np.load(path)["img"]
+    scene, bvh = compile_scene(box_scene())
+    cam = make_camera([0, 0.5, 1.9], fov_y=np.deg2rad(75), aspect=1.0,
+                      target=[0, 0.3, -1.0])
+    acc = np.zeros((48 * 48, 3), np.float64)
+    for s in range(8):
+        acc += np.asarray(render_sample(
+            scene, bvh, cam, 48, 48, jnp.uint32(s),
+            PTConfig(max_path_length=4)))
+    img = (acc / 8).astype(np.float32)
+    # loose enough for backend (CPU/TPU) float differences, tight enough
+    # to catch any estimator change
+    rel = np.abs(img - golden).mean() / (np.abs(golden).mean() + 1e-6)
+    assert rel < 5e-3, rel
