@@ -135,12 +135,21 @@ def run_displaced_app(args, kind: str, params, shell_contents=None):
     film = make_film(args.width, args.height)
     timer = common.PassTimer()
     viewer = common.maybe_viewer(args)
+    rig = common.maybe_camera_rig(args, viewer)
+    sample_key = 0
     for f in range(args.frames):
+        new_cam, film, _ = common.rig_step(rig, viewer, args, film,
+                                           make_film)
+        if new_cam is not None:
+            camera = new_cam
+            sample_key = f
         radiance = timer.measure(
             "pathTrace", render_sample, scene, bvh, camera,
-            args.width, args.height, jnp.uint32(f), cfg)
+            args.width, args.height, jnp.uint32(f - sample_key), cfg)
         film = add_sample(film, radiance.reshape(args.height, args.width, 3))
-        common.viewer_update(viewer, film.beauty, f + 1)
+        common.viewer_update(
+            viewer, film.beauty, f + 1,
+            brightness=rig.brightness if rig is not None else 1.0)
 
     common.save_outputs(args, np.asarray(film.beauty))
     if args.heatmap:
