@@ -129,30 +129,38 @@ def _pack_one_q(bvh: BVH, p0, e1, e2, tri_offset: int = 0):
     leaf_lo = np.where(np.isfinite(leaf_lo), leaf_lo, 0.0)
     leaf_hi = np.where(np.isfinite(leaf_hi), leaf_hi, 0.0)
 
-    # ---- bottom-up bounds fix-up over the wide tree ---------------------
-    # children of node i that are internal reference nodes > i (the builder
-    # allocates children after parents), so a reverse sweep suffices
+    # ---- bottom-up bounds fix-up over the wide tree (vectorized) --------
+    # every box must cover the DEQUANTIZED leaves; resolved level by level
+    # (levels <= tree depth, each pass fully vectorized — the per-node
+    # python sweep dominated host build time at reference scale)
     node_lo = np.zeros((n_int, 3))
     node_hi = np.zeros((n_int, 3))
-    for i in range(n_int - 1, -1, -1):
-        lo = np.full(3, np.inf)
-        hi = np.full(3, -np.inf)
-        for k in range(arity):
-            cnt = child_count[i, k]
-            if cnt < 0:
-                continue
-            if cnt > 0:
-                clo = leaf_lo[leaf_id[i, k]]
-                chi = leaf_hi[leaf_id[i, k]]
-            else:
-                clo = node_lo[child_idx[i, k]]
-                chi = node_hi[child_idx[i, k]]
-            child_min[i, k] = clo
-            child_max[i, k] = chi
-            lo = np.minimum(lo, clo)
-            hi = np.maximum(hi, chi)
-        node_lo[i] = np.where(np.isfinite(lo), lo, 0.0)
-        node_hi[i] = np.where(np.isfinite(hi), hi, 0.0)
+    is_int_child = child_count == 0  # [N, K]
+    empty_child = child_count < 0
+    # leaf child bounds are known immediately
+    lid = np.where(is_leaf, leaf_id, 0)
+    child_min = np.where(is_leaf[:, :, None], leaf_lo[lid], child_min)
+    child_max = np.where(is_leaf[:, :, None], leaf_hi[lid], child_max)
+    resolved = np.zeros(n_int, bool)
+    cidx = np.where(is_int_child, child_idx, 0)
+    for _ in range(n_int + 1):
+        ready = ~resolved & np.all(
+            np.where(is_int_child, resolved[cidx], True), axis=1)
+        if not ready.any():
+            break
+        # pull resolved internal-child bounds into the child slots
+        sub_lo = node_lo[cidx]  # [N, K, 3]
+        sub_hi = node_hi[cidx]
+        upd = ready[:, None] & is_int_child
+        child_min = np.where(upd[:, :, None], sub_lo, child_min)
+        child_max = np.where(upd[:, :, None], sub_hi, child_max)
+        occ = ~empty_child[:, :, None]
+        lo = np.where(occ, child_min, np.inf).min(axis=1)
+        hi = np.where(occ, child_max, -np.inf).max(axis=1)
+        node_lo[ready] = np.where(np.isfinite(lo[ready]), lo[ready], 0.0)
+        node_hi[ready] = np.where(np.isfinite(hi[ready]), hi[ready], 0.0)
+        resolved |= ready
+    assert resolved.all() or n_int == 0, "bounds fix-up did not converge"
 
     # ---- internal rows: 8-bit quantized child bounds --------------------
     tab = np.zeros((n_int + n_leaf, _WIDTH), np.float32)

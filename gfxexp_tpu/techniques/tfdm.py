@@ -197,20 +197,33 @@ def build_tfdm_geometry(positions, indices, uvs, height, params=None,
     if fit.any():
         # pick the level where the footprint spans <= ~4 texels (finer
         # levels keep the +-1-texel patch-support pad from dragging in
-        # far-away features; <= ~6x6 reads per triangle, host-side)
-        for b in np.nonzero(fit)[0]:
-            lvl = int(np.clip(np.ceil(np.log2(max(span[b] * s, 1e-9) / 4.0)),
-                              0, mm.n_levels - 1))
-            sz = s >> lvl
-            x0 = int(np.floor(uv_lo[b, 0] * sz)) - 1
-            x1 = int(np.floor(uv_hi[b, 0] * sz)) + 1
-            y0 = int(np.floor(uv_lo[b, 1] * sz)) - 1
-            y1 = int(np.floor(uv_hi[b, 1] * sz)) + 1
-            xs = np.arange(x0, x1 + 1) % sz
-            ys = np.arange(y0, y1 + 1) % sz
-            blk = levels[lvl][np.ix_(ys, xs)]
-            hmin[b] = blk[..., 0].min()
-            hmax[b] = blk[..., 1].max()
+        # far-away features). Vectorized per level group with a fixed
+        # 7x7 window (footprint <= 4 texels + floor slack + ±1 pad) —
+        # the per-triangle python loop dominated builds at 10k+ prisms.
+        lvl_all = np.clip(np.ceil(np.log2(np.maximum(span * s, 1e-9)
+                                          / 4.0)).astype(np.int64),
+                          0, mm.n_levels - 1)
+        win = np.arange(7)
+        for lvl in np.unique(lvl_all[fit]):
+            selb = np.nonzero(fit & (lvl_all == lvl))[0]
+            sz = s >> int(lvl)
+            x0 = np.floor(uv_lo[selb, 0] * sz).astype(np.int64) - 1
+            y0 = np.floor(uv_lo[selb, 1] * sz).astype(np.int64) - 1
+            # guaranteed coverage: x1 = floor(hi*sz)+1 <= x0 + 6
+            xs = (x0[:, None] + win[None, :]) % sz  # [B_l, 7]
+            ys = (y0[:, None] + win[None, :]) % sz
+            # mask window cells past the true footprint (avoid dragging
+            # in unrelated wrapped texels)
+            x1 = np.floor(uv_hi[selb, 0] * sz).astype(np.int64) + 1
+            y1 = np.floor(uv_hi[selb, 1] * sz).astype(np.int64) + 1
+            mx = (x0[:, None] + win[None, :]) <= x1[:, None]
+            my = (y0[:, None] + win[None, :]) <= y1[:, None]
+            blk = levels[lvl][ys[:, :, None], xs[:, None, :]]  # [B,7,7,2]
+            mwin = my[:, :, None] & mx[:, None, :]
+            hmin[selb] = np.where(mwin, blk[..., 0], np.inf) \
+                .reshape(len(selb), -1).min(axis=1)
+            hmax[selb] = np.where(mwin, blk[..., 1], -np.inf) \
+                .reshape(len(selb), -1).max(axis=1)
     d0 = params.h_offset + params.h_scale * (hmin - params.h_bias)
     d1 = params.h_offset + params.h_scale * (hmax - params.h_bias)
     d_lo = np.minimum(d0, d1)[:, None]  # [B, 1]
