@@ -515,10 +515,17 @@ def build_bvh(p0: np.ndarray, e1: np.ndarray, e2: np.ndarray, arity: int = 4,
     pad = 1e-7 * np.maximum(1.0, np.abs(tri_max))
     result = None
     if spatial_splits:
-        result = build_bvh_arrays(
-            tri_min - pad, tri_max + pad, arity=arity, max_leaf=max_leaf,
-            verts=(p0, p1, p2),
-        )
+        if use_native:
+            from gfxexp_tpu.accel.native import build_bvh_arrays_native_sbvh
+
+            result = build_bvh_arrays_native_sbvh(
+                tri_min - pad, tri_max + pad, (p0, p1, p2),
+                arity=arity, max_leaf=max_leaf)
+        if result is None:
+            result = build_bvh_arrays(
+                tri_min - pad, tri_max + pad, arity=arity,
+                max_leaf=max_leaf, verts=(p0, p1, p2),
+            )
     if result is None and use_native:
         from gfxexp_tpu.accel.native import build_bvh_arrays_native
 

@@ -31,6 +31,7 @@ class _BvhResult(ctypes.Structure):
         ("perm", ctypes.POINTER(ctypes.c_int32)),
         ("n_nodes", ctypes.c_int32),
         ("max_depth", ctypes.c_int32),
+        ("n_perm", ctypes.c_int32),
     ]
 
 
@@ -56,6 +57,14 @@ def _ensure_lib():
             ctypes.POINTER(_BvhResult),
         ]
         lib.bvh_free.argtypes = [ctypes.POINTER(_BvhResult)]
+        lib.bvh_build_sbvh.restype = ctypes.c_int
+        lib.bvh_build_sbvh.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(_BvhResult),
+        ]
         _lib = lib
     except (subprocess.CalledProcessError, OSError) as e:  # pragma: no cover
         import sys
@@ -95,6 +104,43 @@ def build_bvh_arrays_native(
         cidx = np.ctypeslib.as_array(res.child_idx, (nn, arity)).copy()
         ccnt = np.ctypeslib.as_array(res.child_count, (nn, arity)).copy()
         perm = np.ctypeslib.as_array(res.perm, (n,)).copy()
+        return cmin, cmax, cidx, ccnt, perm.astype(np.int64), int(res.max_depth)
+    finally:
+        lib.bvh_free(ctypes.byref(res))
+
+
+def build_bvh_arrays_native_sbvh(
+    tri_min: np.ndarray, tri_max: np.ndarray, verts,
+    arity: int = 4, max_leaf: int = 4, budget_frac: float = 0.3,
+    alpha: float = 1e-5,
+) -> Optional[Tuple[np.ndarray, ...]]:
+    """Native SBVH (spatial splits + reference duplication). Same contract
+    as the numpy _build_bvh2_spatial path: the returned perm may hold
+    duplicate triangle ids. None if the native library is unavailable."""
+    lib = _ensure_lib()
+    if lib is None:
+        return None
+    v0, v1, v2 = (np.ascontiguousarray(v, np.float32) for v in verts)
+    tri_min = np.ascontiguousarray(tri_min, np.float32)
+    tri_max = np.ascontiguousarray(tri_max, np.float32)
+    n = tri_min.shape[0]
+    res = _BvhResult()
+    fp = ctypes.POINTER(ctypes.c_float)
+    rc = lib.bvh_build_sbvh(
+        v0.ctypes.data_as(fp), v1.ctypes.data_as(fp), v2.ctypes.data_as(fp),
+        tri_min.ctypes.data_as(fp), tri_max.ctypes.data_as(fp),
+        n, arity, max_leaf, ctypes.c_float(budget_frac),
+        ctypes.c_float(alpha), ctypes.byref(res),
+    )
+    if rc != 0:
+        raise RuntimeError(f"bvh_build_sbvh failed with code {rc}")
+    try:
+        nn = res.n_nodes
+        cmin = np.ctypeslib.as_array(res.child_min, (nn, arity, 3)).copy()
+        cmax = np.ctypeslib.as_array(res.child_max, (nn, arity, 3)).copy()
+        cidx = np.ctypeslib.as_array(res.child_idx, (nn, arity)).copy()
+        ccnt = np.ctypeslib.as_array(res.child_count, (nn, arity)).copy()
+        perm = np.ctypeslib.as_array(res.perm, (res.n_perm,)).copy()
         return cmin, cmax, cidx, ccnt, perm.astype(np.int64), int(res.max_depth)
     finally:
         lib.bvh_free(ctypes.byref(res))

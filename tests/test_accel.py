@@ -653,3 +653,47 @@ def test_instanced_qrow_render_matches_widerow():
     denom = np.abs(a).mean() + 1e-6
     assert np.abs(a - b).mean() / denom < 0.02, \
         np.abs(a - b).mean() / denom
+
+
+def test_native_sbvh_matches_numpy(rng_np):
+    """Native SBVH must be traversal-equivalent to the numpy SBVH oracle
+    (same closest hits on the same ORIGINAL triangles; duplicate
+    references may differ in layout, so compare via each build's own
+    permuted soup)."""
+    from gfxexp_tpu.accel.native import native_available
+
+    if not native_available():
+        pytest.skip("native builder not built")
+    # long diagonals + soup: the spatial-split-heavy case
+    n_long, n_soup = 50, 150
+    a = rng_np.uniform(-4, 4, size=(n_long, 3))
+    dv = rng_np.normal(size=(n_long, 3))
+    dv = 6.0 * dv / np.linalg.norm(dv, axis=-1, keepdims=True)
+    w = rng_np.normal(scale=0.05, size=(n_long, 3))
+    s0, s1, s2 = _random_tri_soup(rng_np, n_soup)
+    p0 = np.concatenate([a, s0]).astype(np.float32)
+    p1 = np.concatenate([a + dv, s1]).astype(np.float32)
+    p2 = np.concatenate([a + dv * 0.5 + w, s2]).astype(np.float32)
+
+    bvh_n, perm_n = build_bvh(p0, p1 - p0, p2 - p0, arity=4,
+                              spatial_splits=True, use_native=True)
+    bvh_p, perm_p = build_bvh(p0, p1 - p0, p2 - p0, arity=4,
+                              spatial_splits=True, use_native=False)
+    assert perm_n.shape[0] > p0.shape[0]  # native splits fired too
+    soa_n = _make_soa(p0[perm_n], p1[perm_n], p2[perm_n])
+    soa_p = _make_soa(p0[perm_p], p1[perm_p], p2[perm_p])
+    n_rays = 300
+    o = rng_np.uniform(-6, 6, size=(n_rays, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    hn = intersect_closest(bvh_n, soa_n, jnp.asarray(o), jnp.asarray(d))
+    hp = intersect_closest(bvh_p, soa_p, jnp.asarray(o), jnp.asarray(d))
+    assert np.array_equal(np.asarray(hn.hit), np.asarray(hp.hit))
+    m = np.asarray(hn.hit)
+    assert np.allclose(np.asarray(hn.t)[m], np.asarray(hp.t)[m], rtol=1e-4)
+    # same ORIGINAL triangle where ts are distinct (duplicates tie on t)
+    tri_n = np.asarray(perm_n)[np.asarray(hn.tri)[m]]
+    tri_p = np.asarray(perm_p)[np.asarray(hp.tri)[m]]
+    tmatch = np.isclose(np.asarray(hn.t)[m], np.asarray(hp.t)[m],
+                        rtol=1e-5, atol=1e-6)
+    assert np.all((tri_n == tri_p) | tmatch)
