@@ -668,11 +668,17 @@ def build_prism_bvh(aabb_min, aabb_max, arity: int = 4):
     (leaves hold exactly one prism). Returns (SkipBVH, perm int32) where
     leaf `first` indexes `perm` to recover the original prism id."""
     from gfxexp_tpu.accel.bvh_build import build_bvh_arrays
+    from gfxexp_tpu.accel.native import build_bvh_arrays_native
     from gfxexp_tpu.accel.skiplink import build_skip_links
 
-    cmin, cmax, cidx, ccount, perm, _ = build_bvh_arrays(
-        np.asarray(aabb_min, np.float64), np.asarray(aabb_max, np.float64),
+    result = build_bvh_arrays_native(
+        np.asarray(aabb_min, np.float32), np.asarray(aabb_max, np.float32),
         arity=arity, max_leaf=1)
+    if result is None:
+        result = build_bvh_arrays(
+            np.asarray(aabb_min, np.float64),
+            np.asarray(aabb_max, np.float64), arity=arity, max_leaf=1)
+    cmin, cmax, cidx, ccount, perm, _ = result
     skip = build_skip_links(cmin, cmax, cidx, ccount, max_leaf=1)
     return skip, jnp.asarray(np.asarray(perm), jnp.int32)
 
