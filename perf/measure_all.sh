@@ -1,0 +1,23 @@
+#!/bin/bash
+# Full TPU measurement battery (run as the ONLY JAX process).
+# Usage: bash perf/measure_all.sh [outdir]
+set -u
+OUT=${1:-/tmp/measure_r3}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+run() {
+  name=$1; shift
+  echo "=== $name: $* ==="
+  timeout 1800 "$@" > "$OUT/$name.log" 2>&1
+  echo "rc=$? $(tail -1 "$OUT/$name.log")"
+}
+run headline      python bench.py
+run headline_fuse python bench.py fused
+run headline_qrow python bench.py qrow
+run passes        python perf/pass_breakdown.py
+run qrow_ab       python perf/qrow_ab.py
+run big           python bench.py big
+run big_qrow      python bench.py big instanced_qrow
+run big_fused     python bench.py big fused
+echo "=== summary ==="
+grep -h '"metric"' "$OUT"/*.log 2>/dev/null
