@@ -713,7 +713,6 @@ def iterate_candidates(aabb_min, aabb_max, o, d, t_min, t_max, k,
         ids, nears, fars = _broad_phase(aabb_min, aabb_max, o, d,
                                         t_min, t_max, k)
     t_min_v = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
-    t_max_v = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
 
     def have_more(idx, state, last_near, exhausted):
         best_t = get_best_t(state)
