@@ -32,7 +32,7 @@ TIMED_SAMPLES = 16
 TARGET_MRAYS = 100.0
 
 
-def build_bench_scene(big: bool = False, fmt: str = None):
+def build_bench_scene(big: bool = False, fmt: str = None, arity: int = 4):
     """Teapot + bunny + area light + floor (reference README's path_tracing
     recipe shape). Cached — the host-side BVH build dominates cold time.
 
@@ -46,7 +46,8 @@ def build_bench_scene(big: bool = False, fmt: str = None):
     if fmt is None:
         fmt = "instanced" if big else "widerow"
     cache_file = os.path.join(
-        _CACHE, f"bench_scene_{'big_' if big else ''}{fmt}_v10.pkl")
+        _CACHE,
+        f"bench_scene_{'big_' if big else ''}{fmt}_a{arity}_v10.pkl")
     if os.path.exists(cache_file):
         try:
             with open(cache_file, "rb") as f:
@@ -119,7 +120,7 @@ def build_bench_scene(big: bool = False, fmt: str = None):
     # big: two-level instancing (36 teapots+bunnies share 2 BLAS tables —
     # memory does not scale with the instance count); fmt overrides let
     # perf probes A/B the traversal structure (qrow = quantized rows)
-    pair = compile_scene(b, arity=4, max_leaf=4, traversal=fmt)
+    pair = compile_scene(b, arity=arity, max_leaf=4, traversal=fmt)
     os.makedirs(_CACHE, exist_ok=True)
     with open(cache_file, "wb") as f:
         import jax
@@ -140,11 +141,14 @@ def main():
 
     big = "big" in sys.argv[1:]
     fmt = None
+    arity = 4
     for a in sys.argv[1:]:
         if a in ("widerow", "qrow", "instanced", "instanced_qrow"):
             fmt = a
+        elif a == "a8":
+            arity = 8
     t0 = time.time()
-    scene, bvh = build_bench_scene(big=big, fmt=fmt)
+    scene, bvh = build_bench_scene(big=big, fmt=fmt, arity=arity)
     scene = jax.tree_util.tree_map(jnp.asarray, scene)
     bvh = jax.tree_util.tree_map(jnp.asarray, bvh)
     build_s = time.time() - t0
