@@ -428,7 +428,8 @@ def load_gltf(path: str, builder: SceneBuilder,
                 off += 8 + clen + (-clen) % 4
             assert doc is not None, "GLB without JSON chunk"
         else:
-            doc = json.load(open(path, "r"))
+            with open(path, "r") as jf:
+                doc = json.load(jf)
 
     buffers = _gltf_read_buffers(doc, base_dir, glb_bin)
 

@@ -123,6 +123,8 @@ fetch('/pick').then(r=>r.text()).then(t=>
                     return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
+                    if not (0 <= n <= 65536):
+                        raise ValueError("oversized control event")
                     ev = json.loads(self.rfile.read(n) or b"{}")
                     assert isinstance(ev, dict)
                 except Exception:
