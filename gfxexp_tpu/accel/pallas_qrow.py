@@ -755,6 +755,8 @@ def build_instanced_q(blas_geoms, instances):
         inst_of_chunk=jnp.asarray(order.astype(np.int32)),
         arity=_ARITY, width=_WIDTH, max_leaf=_MAX_LEAF, max_depth=max_depth,
         chunk_lo=jnp.asarray(chunk_lo), chunk_hi=jnp.asarray(chunk_hi),
+        blas_lo=jnp.asarray(np.stack(blas_lo).astype(np.float32)),
+        blas_hi=jnp.asarray(np.stack(blas_hi).astype(np.float32)),
     )
     dq = tuple(np.concatenate([d[i] for d in dqs]) for i in range(3))
     return acc, perms, dq

@@ -814,6 +814,10 @@ class InstancedAccel:
     # reference: InstanceBVH_T, common_shared.h:1059); None on legacy caches
     chunk_lo: jnp.ndarray = None  # [C, 3]
     chunk_hi: jnp.ndarray = None  # [C, 3]
+    # per-BLAS OBJECT-space AABBs (rigid animation recomputes the world
+    # chunk AABBs from these on device; None on legacy caches)
+    blas_lo: jnp.ndarray = None  # [B, 3]
+    blas_hi: jnp.ndarray = None  # [B, 3]
 
     @property
     def num_instances(self):
@@ -883,6 +887,8 @@ def build_instanced(blas_geoms, instances, arity: int = 4,
         inst_of_chunk=jnp.asarray(order.astype(np.int32)),
         arity=arity, width=64, max_leaf=max_leaf, max_depth=max_depth,
         chunk_lo=jnp.asarray(chunk_lo), chunk_hi=jnp.asarray(chunk_hi),
+        blas_lo=jnp.asarray(np.stack(blas_lo).astype(np.float32)),
+        blas_hi=jnp.asarray(np.stack(blas_hi).astype(np.float32)),
     ), perms
 
 

@@ -63,8 +63,18 @@ def main(argv=None):
             debug_switches = new_sw
             sample_key = f  # fresh RNG stream for the restarted accum
         if controllers:
-            scene, bvh = timer.measure(
-                "update", advance_frame, scene, bvh, controllers, f / 60.0)
+            if traversal.startswith("instanced"):
+                from gfxexp_tpu.scene.animation import (
+                    advance_frame_instanced,
+                )
+
+                scene, bvh = timer.measure(
+                    "update", advance_frame_instanced, scene, bvh,
+                    controllers, f / 60.0)
+            else:
+                scene, bvh = timer.measure(
+                    "update", advance_frame, scene, bvh, controllers,
+                    f / 60.0)
         radiance = timer.measure(
             "pathTrace", render_sample, scene, bvh, camera,
             args.width, args.height, jnp.uint32(f - sample_key), cfg,

@@ -230,3 +230,77 @@ def advance_frame(scene: SceneData, bvh: SkipBVH, controllers, t: float):
     bvh = refit_skip_bvh(bvh, scene.triangles)
     scene = rebuild_light_distributions(scene)
     return scene, bvh
+
+
+# ---------------------------------------------------------------------------
+# instanced (two-level) animation: rigid transforms only — the TPU analogue
+# of the reference's per-frame IAS transform update (Scene::updateASs,
+# common_host.h:1027: GAS contents untouched, instance transforms + light
+# instance distribution refreshed)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def update_instanced_accel(acc, new_transforms):
+    """Refresh an InstancedAccel for new [I, 3, 4] instance transforms:
+    world->object inverses and world chunk AABBs recomputed on device from
+    the stored object-space BLAS bounds. BLAS node tables are untouched
+    (rigid motion)."""
+    m = new_transforms[acc.inst_of_chunk]  # [C, 3, 4] object->world
+    rinv = jnp.linalg.inv(m[:, :, :3])
+    tinv = -jnp.einsum("cij,cj->ci", rinv, m[:, :, 3])
+    n_c = m.shape[0]
+    inv16 = jnp.zeros((n_c, 16), jnp.float32)
+    inv16 = inv16.at[:, 0:12].set(
+        jnp.concatenate([rinv, tinv[:, :, None]], axis=2).reshape(n_c, 12))
+    # affine AABB transform: |R| e trick over the BLAS object bounds
+    blo = acc.blas_lo[acc.blas_ids]
+    bhi = acc.blas_hi[acc.blas_ids]
+    c = 0.5 * (blo + bhi)
+    e = 0.5 * (bhi - blo)
+    wc = jnp.einsum("cij,cj->ci", m[:, :, :3], c) + m[:, :, 3]
+    we = jnp.einsum("cij,cj->ci", jnp.abs(m[:, :, :3]), e)
+    return acc.replace(inv_transforms=inv16,
+                       chunk_lo=wc - we, chunk_hi=wc + we)
+
+
+@jax.jit
+def _rebuild_unit_distribution_instanced(scene: SceneData, old_scale):
+    """Unit-level light distribution under new instance scales: rigid +
+    UNIFORM scale leaves each unit's per-triangle pmf/alias invariant
+    (every triangle area scales by s^2), so only the unit-level
+    importances rescale — world importance x (s_new/s_old)^2."""
+    units = scene.units
+    s_new = scene.instances.uniform_scale[units.instance]
+    s_old = old_scale[units.instance]
+    ratio = (s_new / jnp.maximum(s_old, 1e-30)) ** 2
+    seg_sum = units.emissive_importance * ratio
+    total = jnp.sum(seg_sum)
+    unit_pmf = jnp.where(total > 0, seg_sum / jnp.where(total > 0, total,
+                                                        1.0), 0.0)
+    unit_cdf = jnp.concatenate(
+        [jnp.zeros((1,), jnp.float32), jnp.cumsum(unit_pmf)])
+    unit_cdf = unit_cdf / jnp.maximum(unit_cdf[-1:], 1e-20)
+    return scene.replace(
+        units=units.replace(emissive_importance=seg_sum),
+        light_unit_cdf=unit_cdf,
+        light_unit_pmf=unit_pmf,
+        # unit-level alias tables are host-built; drop after a device
+        # rebuild (sampling falls back to the CDF path); the per-unit
+        # TRIANGLE alias tables stay valid under uniform scale
+        light_unit_alias_prob=None,
+        light_unit_alias_idx=None,
+        total_emissive_importance=total,
+    )
+
+
+def advance_frame_instanced(scene: SceneData, acc, controllers, t: float):
+    """Per-frame animation for two-level scenes: new rigid transforms ->
+    device inverse/chunk-AABB refresh + unit-level light rescale. Nothing
+    is rebuilt — N instances of a BLAS keep sharing its node table."""
+    old_scale = scene.instances.uniform_scale
+    tf = controller_transforms(scene, controllers, t)
+    scene = set_instance_transforms(scene, tf)
+    scene = _rebuild_unit_distribution_instanced(scene, old_scale)
+    acc = update_instanced_accel(acc, tf)
+    return scene, acc

@@ -98,3 +98,69 @@ def test_animated_render_changes(rng_np):
     far = mean_at(0.0)  # light at begin (y=2)
     near = mean_at(1.0)  # half cycle -> end (y=1)
     assert near > 2.0 * far, (near, far)  # inverse-square-ish brightening
+
+
+def test_instanced_animation_matches_rebuild():
+    """Rigid animation on the two-level structure (reference: per-frame
+    IAS transform update): advancing transforms on device must give the
+    SAME traversal results and light tables as compiling the scene fresh
+    at those transforms."""
+    import jax.numpy as jnp
+
+    from gfxexp_tpu.accel.traverse import intersect_closest
+    from gfxexp_tpu.scene.animation import (
+        InstanceController,
+        advance_frame_instanced,
+    )
+    from gfxexp_tpu.scene.builder import SceneBuilder, affine
+    from gfxexp_tpu.scene.compile import compile_scene
+
+    def build(sphere_pos):
+        b = SceneBuilder()
+        floor = b.add_lambert_material((0.7, 0.7, 0.7))
+        lamp = b.add_lambert_material((0, 0, 0), emittance=(60.0,) * 3)
+        red = b.add_lambert_material((0.8, 0.2, 0.2))
+        b.add_instance(b.add_rectangle(4.0, 4.0, floor))
+        flip = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float64)
+        b.add_instance(b.add_rectangle(0.5, 0.5, lamp),
+                       affine(rotation=flip, translation=[0, 1.8, 0]))
+        sg = b.add_sphere(0.25, red, n_theta=8, n_phi=16)
+        b.add_instance(sg, affine(translation=list(sphere_pos)))
+        b.add_instance(sg, affine(translation=[-0.9, 0.25, 0.0]))
+        return b
+
+    # controller moves instance 2 from A to B over one cycle; t=0.5 -> B
+    ctrl = InstanceController(
+        instance=2, begin_position=(0.6, 0.25, 0.0),
+        end_position=(0.6, 0.25, 0.9), frequency=1.0)
+
+    scene, acc = compile_scene(build((0.6, 0.25, 0.0)),
+                               traversal="instanced")
+    scene_t, acc_t = advance_frame_instanced(scene, acc, [ctrl], 0.5)
+
+    scene_f, acc_f = compile_scene(build((0.6, 0.25, 0.9)),
+                                   traversal="instanced")
+
+    rng = np.random.default_rng(4)
+    n = 300
+    o = rng.uniform(-2, 2, size=(n, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.2, 2.0, n)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+
+    ha = intersect_closest(acc_t, scene_t.triangles, oj, dj)
+    hf = intersect_closest(acc_f, scene_f.triangles, oj, dj)
+    assert np.array_equal(np.asarray(ha.hit), np.asarray(hf.hit))
+    m = np.asarray(hf.hit)
+    assert np.allclose(np.asarray(ha.t)[m], np.asarray(hf.t)[m], rtol=2e-4,
+                       atol=1e-5)
+    assert np.array_equal(np.asarray(ha.tri)[m], np.asarray(hf.tri)[m])
+    assert np.array_equal(np.asarray(ha.inst)[m], np.asarray(hf.inst)[m])
+
+    # light tables agree (translation only: importances unchanged)
+    assert np.allclose(np.asarray(scene_t.light_unit_pmf),
+                       np.asarray(scene_f.light_unit_pmf), atol=1e-6)
+    # instance transforms propagated for shading
+    assert np.allclose(np.asarray(scene_t.instances.transform[2, :, 3]),
+                       [0.6, 0.25, 0.9], atol=1e-6)
