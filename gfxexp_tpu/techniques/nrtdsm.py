@@ -18,10 +18,21 @@ shell coordinates: height h(x) solves the cubic det[B(h)-A(h), C(h)-A(h),
 x-A(h)] = 0 and barycentrics follow from the in-plane solve — displacement is
 along the interpolated vertex normals exactly (no face-normal
 approximation). Shell mapping (texture-space BVH contents,
-reference :1632 forShellMapping) is exposed through the same height-solve
-machinery with the shell interior parameterized by (u, v, h); BVH-in-shell
-instancing is a planned extension (the CPU BVH builder already exists in
-accel/)."""
+reference :1632 forShellMapping) lives in techniques/shell.py on the same
+height-solve machinery.
+
+Exactness relationship to the reference: the reference's EXACT curved-ray
+tests are available as validated library functions here —
+nonlinear_ray_vs_aabb (affine-arithmetic curve bounds, reference :1013)
+and nonlinear_ray_vs_micro_triangle (cubic-in-h substitution into the
+micro-triangle plane, reference :498) — with dense-oracle tests. The
+production walk keeps march + bisection because for the default BILINEAR
+local type the crossing equation g(h)·D(h)^2 is a QUINTIC (the reference
+also root-finds it numerically); the remaining structural difference vs
+the reference is texel ENUMERATION (its MipMapStack guarantees no
+crossing is skipped between samples, our fixed march can skip features
+thinner than (far-near)/n_steps — mitigated by the per-triangle minmax
+AABBs and the step-count knob)."""
 
 from __future__ import annotations
 
