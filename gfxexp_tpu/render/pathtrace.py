@@ -266,9 +266,22 @@ def _displaced_closest(scene, ray_o, ray_d, tmax):
             dh = intersect_shell(g, ray_o, ray_d, t_min=1e-4, t_max=tmax)
             mat = dh.mat  # multi-material shells
         else:  # NRTDSMGeometry
-            from gfxexp_tpu.techniques.nrtdsm import intersect_nrtdsm_v2
+            from gfxexp_tpu.techniques.nrtdsm import (
+                intersect_nrtdsm_exact,
+                intersect_nrtdsm_v2,
+            )
+            from gfxexp_tpu.techniques.tfdm import (
+                LOCAL_INTERSECTION_TWO_TRIANGLE,
+            )
 
-            dh = intersect_nrtdsm_v2(g, ray_o, ray_d, t_min=1e-4, t_max=tmax)
+            if (g.params.local_intersection_type
+                    == LOCAL_INTERSECTION_TWO_TRIANGLE):
+                # exact cubic roots against the two-triangle micro surface
+                dh = intersect_nrtdsm_exact(g, ray_o, ray_d, t_min=1e-4,
+                                            t_max=tmax)
+            else:
+                dh = intersect_nrtdsm_v2(g, ray_o, ray_d, t_min=1e-4,
+                                         t_max=tmax)
             mat = jnp.full_like(dh.prim, g.material)
         if best is None:
             best = (dh.t, dh.hit, dh.position, dh.normal, dh.uv, mat)
@@ -302,9 +315,19 @@ def _displaced_occluded(scene, o, d, tmax):
         elif isinstance(g, ShellGeometry):
             dh = intersect_shell(g, o, d, t_min=1e-4, t_max=tmax)
         else:
-            from gfxexp_tpu.techniques.nrtdsm import intersect_nrtdsm_v2
+            from gfxexp_tpu.techniques.nrtdsm import (
+                intersect_nrtdsm_exact,
+                intersect_nrtdsm_v2,
+            )
+            from gfxexp_tpu.techniques.tfdm import (
+                LOCAL_INTERSECTION_TWO_TRIANGLE,
+            )
 
-            dh = intersect_nrtdsm_v2(g, o, d, t_min=1e-4, t_max=tmax)
+            if (g.params.local_intersection_type
+                    == LOCAL_INTERSECTION_TWO_TRIANGLE):
+                dh = intersect_nrtdsm_exact(g, o, d, t_min=1e-4, t_max=tmax)
+            else:
+                dh = intersect_nrtdsm_v2(g, o, d, t_min=1e-4, t_max=tmax)
         occ = occ | dh.hit
     return occ
 

@@ -628,3 +628,203 @@ def nonlinear_ray_vs_micro_triangle(tc2, tc1, tc0, den2, den1, den0,
     b2 = (d00 * qb - d01 * qa) / det
     inside = (b1 >= -1e-4) & (b2 >= -1e-4) & (b1 + b2 <= 1.0 + 1e-4)
     return found & den_ok & inside, h, b1, b2
+
+
+# ---------------------------------------------------------------------------
+# exact narrow phase: h-space march + per-texel exact micro-triangle cubics
+# (reference: displacedSurface_generic walks texels and solves the curve-
+# vs-micro-triangle cubic exactly, nrtdsm_intersection_kernels.h:498,1632;
+# TwoTriangle local type tfdm_shared.h:17)
+# ---------------------------------------------------------------------------
+
+
+def intersect_nrtdsm_exact(geom: NRTDSMGeometry, o, d, t_min=1e-4,
+                           t_max=1e30, k_candidates: int = 4,
+                           n_h: int = 64) -> NRTDSMHit:
+    """EXACT TwoTriangle-local-type intersection: per candidate prism the
+    texture-space curve q(h) = (Nu, Nv)(h)/D(h) (rational quadratic —
+    compute_canonical_space_ray_coeffs/compute_texture_space_ray_coeffs)
+    is marched over the prism's displaced-height interval in n_h segments;
+    each segment whose minmax texel interval overlaps its h-span runs the
+    exact cubic-in-h micro-triangle solve (nonlinear_ray_vs_micro_triangle)
+    against the two triangles of the texel under the segment midpoint —
+    hit heights are EXACT roots, not bisection refinements.
+
+    Per h the prism's slice {base(b) + h n(b)} is a planar triangle, so
+    the crossing barycentrics are unique per h and the h-march enumerates
+    the whole curve; segments whose uv travel exceeds a texel can still
+    miss neighbor texels (pick n_h ~ 2 x heightmap res x expected uv span
+    for watertightness; the minmax gate keeps unoccupied segments free).
+
+    The surface is the TwoTriangle local type (reference tfdm_shared.h:17)
+    — texel split along the (u0,v0)-(u1,v1) diagonal — which differs from
+    v2's Bilinear surface by up to the patch curvature."""
+    n_rays = o.shape[0]
+    s = geom.height.shape[0]
+    p = geom.params
+    corners = jnp.stack([
+        geom.p0 + geom.h_lo * geom.n0, geom.p1 + geom.h_lo * geom.n1,
+        geom.p2 + geom.h_lo * geom.n2, geom.p0 + geom.h_hi * geom.n0,
+        geom.p1 + geom.h_hi * geom.n1, geom.p2 + geom.h_hi * geom.n2,
+    ], axis=1)
+    lo = jnp.min(corners, axis=1) - 1e-5
+    hi = jnp.max(corners, axis=1) + 1e-5
+
+    # per-ray orthogonal basis (shared across candidates)
+    up = jnp.where((jnp.abs(d[:, 0]) < 0.8)[:, None],
+                   jnp.asarray([1.0, 0.0, 0.0]),
+                   jnp.asarray([0.0, 1.0, 0.0]))
+    e0 = jnp.cross(d, up)
+    e0 = e0 / jnp.maximum(jnp.linalg.norm(e0, axis=-1, keepdims=True),
+                          1e-20)
+    e1b = jnp.cross(d, e0)
+
+    t_min_v = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_rays,))
+    state0 = (
+        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_rays,)),
+        jnp.full((n_rays,), -1, jnp.int32),
+        jnp.zeros((n_rays, 2), jnp.float32),
+        jnp.zeros((n_rays, 3), jnp.float32),
+        jnp.zeros((n_rays,), jnp.int32),
+    )
+
+    from gfxexp_tpu.techniques.tfdm import iterate_candidates
+
+    def process(state, cid, near, far):
+        best_t, best_prim, best_uv, best_nrm, steps_total = state
+        b = jnp.maximum(cid, 0)
+        far = jnp.minimum(far, best_t)
+        active = (cid >= 0) & (near < far)
+
+        p_a, p_b, p_c = geom.p0[b], geom.p1[b], geom.p2[b]
+        n_a, n_b, n_c = geom.n0[b], geom.n1[b], geom.n2[b]
+        uv_a = _uv_transform(p, geom.uv0[b])
+        uv_b = _uv_transform(p, geom.uv1[b])
+        uv_c = _uv_transform(p, geom.uv2[b])
+
+        bc2, bc1, bc0, d2c, d1c, d0c = compute_canonical_space_ray_coeffs(
+            o, e0, e1b, p_a, p_b, p_c, n_a, n_b, n_c)
+        tc2, tc1, tc0 = compute_texture_space_ray_coeffs(
+            uv_a, uv_b, uv_c, bc2, bc1, bc0, d2c, d1c, d0c)
+
+        def rational(c2, c1, c0v, h):
+            den = d2c * h * h + d1c * h + d0c
+            safe = jnp.where(jnp.abs(den) > 1e-12, den, 1.0)
+            return (c2 * h * h + c1 * h + c0v) / safe
+
+        def uv_at(h):
+            return jnp.stack([rational(tc2[..., i], tc1[..., i],
+                                       tc0[..., i], h) for i in (0, 1)], -1)
+
+        h_span = geom.h_hi - geom.h_lo
+        mm = geom.minmax
+
+        def seg_body(kk, st):
+            best_t, best_prim, best_uv, best_nrm, found_steps = st
+            h0 = jnp.full((n_rays,),
+                          geom.h_lo + h_span * (kk.astype(jnp.float32)
+                                                / n_h))
+            h1 = jnp.full((n_rays,),
+                          geom.h_lo + h_span * ((kk.astype(jnp.float32)
+                                                 + 1) / n_h))
+            uvm = uv_at(0.5 * (h0 + h1))
+            # texel under the segment midpoint; its level-0 entry already
+            # bounds the bilinear patch (two-triangle surface lies within)
+            gx = jnp.floor(uvm[:, 0] * s - 0.5).astype(jnp.int32) % s
+            gy = jnp.floor(uvm[:, 1] * s - 0.5).astype(jnp.int32) % s
+            mn = mm.levels[0, gy, gx, 0]
+            mx = mm.levels[0, gy, gx, 1]
+            dlo = p.h_offset + p.h_scale * (mn - p.h_bias)
+            dhi = p.h_offset + p.h_scale * (mx - p.h_bias)
+            tlo = jnp.minimum(dlo, dhi) - 1e-4
+            thi = jnp.maximum(dlo, dhi) + 1e-4
+            occupied = active & (jnp.minimum(h0, h1) <= thi) \
+                & (jnp.maximum(h0, h1) >= tlo)
+            found_steps = found_steps + occupied.astype(jnp.int32)
+
+            # the texel's four displaced corner heights (sample coords:
+            # texel (gx, gy) spans samples [gx, gx+1] x [gy, gy+1])
+            u0 = (gx.astype(jnp.float32) + 0.5) / s
+            v0 = (gy.astype(jnp.float32) + 0.5) / s
+            du = 1.0 / s
+            hgt = geom.height
+
+            def dval(ix, iy):
+                hh = hgt[iy % s, ix % s]
+                return p.h_offset + p.h_scale * (hh - p.h_bias)
+
+            d00 = dval(gx, gy)
+            d10 = dval(gx + 1, gy)
+            d01 = dval(gx, gy + 1)
+            d11 = dval(gx + 1, gy + 1)
+            c00 = jnp.stack([u0, v0, d00], -1)
+            c10 = jnp.stack([u0 + du, v0, d10], -1)
+            c01 = jnp.stack([u0, v0 + du, d01], -1)
+            c11 = jnp.stack([u0 + du, v0 + du, d11], -1)
+
+            def try_tri(pa, pb2, pc2, cur):
+                bt, bp, buv, bn = cur
+                hit, h_r, tb1, tb2 = nonlinear_ray_vs_micro_triangle(
+                    tc2, tc1, tc0, d2c, d1c, d0c, pa, pb2, pc2, h0, h1)
+                # base barycentrics at the root (rational quadratics)
+                a_r = rational(bc2[..., 0], bc1[..., 0], bc0[..., 0], h_r)
+                b_r = rational(bc2[..., 1], bc1[..., 1], bc0[..., 1], h_r)
+                w_r = 1.0 - a_r - b_r
+                inside = (a_r >= -1e-3) & (b_r >= -1e-3) & (w_r >= -1e-3)
+                S = shell_point(p_a, p_b, p_c, n_a, n_b, n_c, a_r, b_r, h_r)
+                t_w = jnp.sum((S - o) * d, -1) / jnp.maximum(
+                    jnp.sum(d * d, -1), 1e-20)
+                ok = (occupied & hit & inside & (t_w > t_min_v)
+                      & (t_w >= near - 1e-4) & (t_w < jnp.minimum(far, bt)))
+                # geometric normal of the micro-triangle mapped to world:
+                # finite-difference the displaced surface around the hit
+                uv_hit = uv_at(h_r)
+                bt = jnp.where(ok, t_w, bt)
+                bp = jnp.where(ok, cid, bp)
+                buv = jnp.where(ok[:, None], uv_hit, buv)
+                # normal via the shell map jacobian at the hit (same
+                # finite-difference scheme as v2)
+                eps = 1e-3
+
+                def surf(bb1, bb2):
+                    w = 1.0 - bb1 - bb2
+                    uvq = (w[:, None] * uv_a + bb1[:, None] * uv_b
+                           + bb2[:, None] * uv_c)
+                    hh = _height_field(geom, uvq)
+                    return shell_point(p_a, p_b, p_c, n_a, n_b, n_c,
+                                       bb1, bb2, hh)
+
+                s0 = surf(a_r, b_r)
+                su = surf(a_r + eps, b_r)
+                sv = surf(a_r, b_r + eps)
+                nrm = jnp.cross(su - s0, sv - s0)
+                nrm = nrm / jnp.maximum(
+                    jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
+                nsh = (w_r[:, None] * n_a + a_r[:, None] * n_b
+                       + b_r[:, None] * n_c)
+                nrm = nrm * jnp.sign(
+                    jnp.sum(nrm * nsh, -1, keepdims=True) + 1e-12)
+                bn = jnp.where(ok[:, None], nrm, bn)
+                return bt, bp, buv, bn
+
+            cur = (best_t, best_prim, best_uv, best_nrm)
+            # TwoTriangle split along the c00-c11 diagonal
+            cur = try_tri(c00, c10, c11, cur)
+            cur = try_tri(c00, c11, c01, cur)
+            best_t, best_prim, best_uv, best_nrm = cur
+            return (best_t, best_prim, best_uv, best_nrm, found_steps)
+
+        best_t, best_prim, best_uv, best_nrm, steps_total = \
+            jax.lax.fori_loop(0, n_h, seg_body,
+                              (best_t, best_prim, best_uv, best_nrm,
+                               steps_total))
+        return (best_t, best_prim, best_uv, best_nrm, steps_total)
+
+    best_t, best_prim, best_uv, best_nrm, steps_total = iterate_candidates(
+        lo, hi, o, d, t_min, t_max, k_candidates, state0, process,
+        lambda st: st[0], prism_bvh=getattr(geom, "prism_bvh", None))
+    return NRTDSMHit(
+        t=best_t, hit=best_prim >= 0,
+        position=o + best_t[:, None] * d,
+        normal=best_nrm, uv=best_uv, prim=best_prim, steps=steps_total,
+    )

@@ -300,3 +300,127 @@ def test_nonlinear_ray_vs_micro_triangle_exact():
         tc2, tc1, tc0, d2, d1, d0, pa + off, pb + off, pc + off,
         jnp.float32(0.05), jnp.float32(0.35))
     assert not bool(hit2)
+
+
+def _plane_geom_nrtdsm(height, params=None, normals=None):
+    from gfxexp_tpu.techniques.nrtdsm import build_nrtdsm_geometry
+
+    positions = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 0, 1], [0, 0, 1]], np.float32)
+    if normals is None:
+        normals = np.tile(np.array([[0, 1, 0]], np.float32), (4, 1))
+    indices = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    uvs = positions[:, [0, 2]]
+    return build_nrtdsm_geometry(positions, indices, uvs, height,
+                                 params=params, normals=normals)
+
+
+def test_nrtdsm_exact_flat_analytic():
+    """Exact narrow phase on a constant-height field: hit t must match
+    the analytic plane distance to near float precision (the exact cubic
+    root, not a bisection estimate)."""
+    from gfxexp_tpu.techniques.nrtdsm import intersect_nrtdsm_exact
+    from gfxexp_tpu.techniques.tfdm import DisplacementParameters
+
+    s = 32
+    height = np.full((s, s), 0.5, np.float32)
+    geom = _plane_geom_nrtdsm(height,
+                              DisplacementParameters(h_scale=0.4))
+    rng = np.random.default_rng(2)
+    n = 64
+    o = np.stack([rng.uniform(0.15, 0.85, n), np.full(n, 1.5),
+                  rng.uniform(0.15, 0.85, n)], -1).astype(np.float32)
+    d = np.tile(np.array([[0.0, -1.0, 0.0]], np.float32), (n, 1))
+    h = intersect_nrtdsm_exact(geom, jnp.asarray(o), jnp.asarray(d))
+    assert np.asarray(h.hit).all()
+    t_exact = 1.5 - 0.5 * 0.4
+    assert np.allclose(np.asarray(h.t), t_exact, atol=2e-4), \
+        np.abs(np.asarray(h.t) - t_exact).max()
+    assert np.allclose(np.asarray(h.normal)[:, 1], 1.0, atol=1e-3)
+
+
+def test_nrtdsm_exact_agrees_with_v2():
+    """Exact TwoTriangle intersector vs the bilinear march on a smooth
+    bump field with TILTED normals (curved shells): hits and distances
+    agree within the bilinear-vs-two-triangle surface difference."""
+    from gfxexp_tpu.techniques.nrtdsm import (
+        intersect_nrtdsm_exact,
+        intersect_nrtdsm_v2,
+    )
+    from gfxexp_tpu.techniques.tfdm import DisplacementParameters
+
+    s = 64
+    yy, xx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+    height = (0.5 + 0.4 * np.sin(xx * 0.25) * np.cos(yy * 0.2)) \
+        .astype(np.float32)
+    normals = np.array([[0.2, 1, 0], [0, 1, 0.2], [-0.2, 1, 0],
+                        [0, 1, -0.2]], np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    geom = _plane_geom_nrtdsm(height, DisplacementParameters(h_scale=0.3),
+                              normals=normals)
+    rng = np.random.default_rng(8)
+    n = 128
+    o = np.stack([rng.uniform(0.1, 0.9, n), np.full(n, 1.2),
+                  rng.uniform(0.1, 0.9, n)], -1).astype(np.float32)
+    to = np.stack([rng.uniform(0.2, 0.8, n), np.zeros(n),
+                   rng.uniform(0.2, 0.8, n)], -1)
+    d = (to - o).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+
+    he = intersect_nrtdsm_exact(geom, oj, dj, n_h=96)
+    hv = intersect_nrtdsm_v2(geom, oj, dj)
+    m_e = np.asarray(he.hit)
+    m_v = np.asarray(hv.hit)
+    assert m_v.mean() > 0.9  # rays aimed at the surface
+    agree = (m_e == m_v).mean()
+    assert agree > 0.95, agree
+    both = m_e & m_v
+    dt = np.abs(np.asarray(he.t)[both] - np.asarray(hv.t)[both])
+    # the two local surface types differ by patch curvature (~(0.4*0.3)
+    # over 2.5-texel wavelengths); distances must agree to that order
+    assert np.quantile(dt, 0.9) < 2e-2, np.quantile(dt, 0.9)
+
+
+def test_nrtdsm_exact_in_pipeline():
+    """LOCAL_INTERSECTION_TWO_TRIANGLE routes NRTDSM geometry through the
+    exact intersector inside the common path tracer."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from gfxexp_tpu.render.camera import make_camera
+    from gfxexp_tpu.render.pathtrace import PTConfig, render_sample
+    from gfxexp_tpu.scene.builder import SceneBuilder, affine
+    from gfxexp_tpu.scene.compile import compile_scene
+    from gfxexp_tpu.techniques.tfdm import (
+        DisplacementParameters,
+        LOCAL_INTERSECTION_TWO_TRIANGLE,
+    )
+
+    s = 32
+    yy, xx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+    height = (0.5 + 0.4 * np.sin(xx * 0.5)).astype(np.float32)
+    positions = np.array([[0, 0, 0], [1, 0, 0], [1, 0, 1], [0, 0, 1]],
+                         np.float32)
+    indices = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    uvs = positions[:, [0, 2]]
+
+    b = SceneBuilder()
+    lamp = b.add_lambert_material((0, 0, 0), emittance=(60.0,) * 3)
+    flip = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float64)
+    b.add_instance(b.add_rectangle(0.6, 0.6, lamp),
+                   affine(rotation=flip, translation=[0.5, 1.8, 0.5]))
+    mat = b.add_lambert_material((0.6, 0.55, 0.5))
+    b.add_displaced(
+        positions, indices, uvs, height,
+        params=DisplacementParameters(
+            h_scale=0.25,
+            local_intersection_type=LOCAL_INTERSECTION_TWO_TRIANGLE),
+        material=mat, kind="nrtdsm")
+    scene, bvh = compile_scene(b, traversal="widerow")
+    cam = make_camera([0.5, 1.0, 1.6], fov_y=np.deg2rad(45), aspect=1.0,
+                      target=[0.5, 0.1, 0.5])
+    img = np.asarray(render_sample(scene, bvh, cam, 20, 20, jnp.uint32(1),
+                                   PTConfig(max_path_length=2)))
+    assert np.isfinite(img).all()
+    assert img.mean() > 1e-3
