@@ -178,25 +178,43 @@ def main():
         img, nrays = render_sample(scene, bvh, camera, WIDTH, HEIGHT, jnp.uint32(s), cfg)
     np.asarray(img)
 
-    # accumulate through a device-side dependency chain: this runtime executes
-    # independent programs concurrently, so blocking on the last output alone
-    # does NOT fence earlier samples — the chain makes timing honest while
-    # still allowing dispatch pipelining
-    acc = jnp.zeros((WIDTH * HEIGHT, 3), jnp.float32)
-    total_rays_dev = jnp.zeros((), jnp.float32)
-    t0 = time.time()
-    for s in range(TIMED_SAMPLES):
-        img, nrays = render_sample(
-            scene, bvh, camera, WIDTH, HEIGHT, jnp.uint32(100 + s), cfg
-        )
-        acc = acc + img
-        total_rays_dev = total_rays_dev + nrays
-    # this runtime's block_until_ready can return before execution completes;
-    # a host copy is the only trustworthy fence
-    acc_host = np.asarray(acc)
-    total_rays = float(np.asarray(total_rays_dev))
-    elapsed = time.time() - t0
-    img = jnp.asarray(acc_host / TIMED_SAMPLES)
+    batched = "batched" in sys.argv[1:]
+    if batched:
+        # one jitted program accumulating all samples (render_accumulate):
+        # amortizes per-program dispatch through the tunnel
+        from gfxexp_tpu.render.pathtrace import render_accumulate
+
+        mean0, _ = render_accumulate(scene, bvh, camera, WIDTH, HEIGHT,
+                                     jnp.uint32(0), TIMED_SAMPLES, cfg)
+        np.asarray(mean0)  # compile + warm
+        t0 = time.time()
+        mean, nrays_dev = render_accumulate(
+            scene, bvh, camera, WIDTH, HEIGHT, jnp.uint32(100),
+            TIMED_SAMPLES, cfg)
+        acc_host = np.asarray(mean) * TIMED_SAMPLES
+        total_rays = float(np.asarray(nrays_dev))
+        elapsed = time.time() - t0
+        img = jnp.asarray(acc_host / TIMED_SAMPLES)
+    else:
+        # accumulate through a device-side dependency chain: this runtime
+        # executes independent programs concurrently, so blocking on the
+        # last output alone does NOT fence earlier samples — the chain
+        # makes timing honest while still allowing dispatch pipelining
+        acc = jnp.zeros((WIDTH * HEIGHT, 3), jnp.float32)
+        total_rays_dev = jnp.zeros((), jnp.float32)
+        t0 = time.time()
+        for s in range(TIMED_SAMPLES):
+            img, nrays = render_sample(
+                scene, bvh, camera, WIDTH, HEIGHT, jnp.uint32(100 + s), cfg
+            )
+            acc = acc + img
+            total_rays_dev = total_rays_dev + nrays
+        # block_until_ready can return before execution completes; a host
+        # copy is the only trustworthy fence
+        acc_host = np.asarray(acc)
+        total_rays = float(np.asarray(total_rays_dev))
+        elapsed = time.time() - t0
+        img = jnp.asarray(acc_host / TIMED_SAMPLES)
 
     mrays = total_rays / elapsed / 1e6
     sys.stderr.write(

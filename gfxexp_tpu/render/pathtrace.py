@@ -830,3 +830,45 @@ def accumulate(accum, new_sample, num_accum_frames):
     206-214)."""
     w = 1.0 / (1.0 + num_accum_frames)
     return (1.0 - w) * accum + w * new_sample
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "n_samples", "cfg"))
+def render_accumulate(
+    scene: SceneData,
+    bvh: BVH,
+    camera: Camera,
+    width: int,
+    height: int,
+    start_idx,
+    n_samples: int,
+    cfg: PTConfig = PTConfig(),
+):
+    """Accumulate n_samples progressive samples inside ONE jitted program
+    (a lax.fori_loop over sample indices): amortizes per-program dispatch
+    through the remote-execution tunnel vs a host loop of render_sample
+    calls. Returns (mean radiance [H*W, 3] in pixel order, total rays when
+    cfg.count_rays). Identical estimator — sample s uses the same RNG
+    streams as render_sample(sample_idx=start_idx+s)."""
+    start_idx = jnp.asarray(start_idx, jnp.uint32)
+    n = width * height
+
+    def body(s, carry):
+        acc, rays = carry
+        out = render_lanes(scene, bvh, camera, width, height, 0, n,
+                           start_idx + s.astype(jnp.uint32), cfg)
+        if cfg.count_rays:
+            img, nr = out
+            rays = rays + nr
+        else:
+            img = out
+        return acc + img, rays
+
+    acc, rays = jax.lax.fori_loop(
+        0, n_samples, body,
+        (jnp.zeros((n, 3), jnp.float32), jnp.zeros((), jnp.float32)))
+    order = lane_from_pixel(jnp.arange(n, dtype=jnp.uint32), width, height)
+    mean = (acc / n_samples)[order]
+    if cfg.count_rays:
+        return mean, rays
+    return mean

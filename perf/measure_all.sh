@@ -15,6 +15,7 @@ run headline      python bench.py
 run headline_fuse python bench.py fused
 run headline_qrow python bench.py qrow
 run headline_a8   python bench.py a8
+run headline_batch python bench.py batched
 run passes        python perf/pass_breakdown.py
 run qrow_ab       python perf/qrow_ab.py
 run big           python bench.py big

@@ -255,3 +255,32 @@ def test_golden_box_image():
     # to catch any estimator change
     rel = np.abs(img - golden).mean() / (np.abs(golden).mean() + 1e-6)
     assert rel < 5e-3, rel
+
+
+def test_render_accumulate_matches_loop():
+    """The single-program multi-sample accumulator must equal the mean of
+    the equivalent render_sample loop (same RNG streams per sample)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from scenes import box_scene
+
+    from gfxexp_tpu.render.pathtrace import render_accumulate
+    from gfxexp_tpu.scene.compile import compile_scene
+
+    scene, bvh = compile_scene(box_scene())
+    cam = make_camera([0, 0.5, 1.9], fov_y=np.deg2rad(75), aspect=1.0,
+                      target=[0, 0.3, -1.0])
+    cfg = PTConfig(max_path_length=3, count_rays=True)
+    acc = np.zeros((24 * 24, 3), np.float64)
+    nr_total = 0.0
+    for s in range(4):
+        img, nr = render_sample(scene, bvh, cam, 24, 24,
+                                jnp.uint32(7 + s), cfg)
+        acc += np.asarray(img)
+        nr_total += float(nr)
+    mean_loop = acc / 4
+    mean_batch, nr_batch = render_accumulate(scene, bvh, cam, 24, 24,
+                                             jnp.uint32(7), 4, cfg)
+    assert np.allclose(np.asarray(mean_batch), mean_loop, atol=1e-5)
+    assert abs(float(nr_batch) - nr_total) < 1.0
