@@ -63,15 +63,25 @@ def main(argv=None):
                    default="/root/reference/data/stanford_bunny_309_faces.obj")
     p.add_argument("-shell-grid", type=int, default=3,
                    help="tile the shell contents N x N in texture space")
+    p.add_argument("-local-intersection",
+                   choices=["bilinear", "two_triangle"], default="bilinear",
+                   help="local surface type: bilinear (marched) or "
+                        "two_triangle (EXACT cubic roots per micro "
+                        "triangle, reference "
+                        "nrtdsm_intersection_kernels.h:498)")
     p.set_defaults(cam_pos=[0.0, 2.1, 3.4], cam_yaw=180.0, cam_pitch=30.0, base_res=16)
     args = common.parse_scene_args(p, argv)
     from gfxexp_tpu.utils.runtime import enable_compile_cache
 
     enable_compile_cache()
-    from gfxexp_tpu.techniques.tfdm import DisplacementParameters
+    from gfxexp_tpu.techniques import tfdm as T
 
-    params = DisplacementParameters(
-        h_offset=args.h_offset, h_scale=args.h_scale, h_bias=args.h_bias)
+    lit = {"bilinear": T.LOCAL_INTERSECTION_BILINEAR,
+           "two_triangle": T.LOCAL_INTERSECTION_TWO_TRIANGLE}[
+        args.local_intersection]
+    params = T.DisplacementParameters(
+        h_offset=args.h_offset, h_scale=args.h_scale, h_bias=args.h_bias,
+        local_intersection_type=lit)
     shell = None
     if args.shell:
         shell = shell_contents_mesh(args.shell_obj, args.shell_grid)
