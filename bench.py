@@ -32,22 +32,27 @@ TIMED_SAMPLES = 16
 TARGET_MRAYS = 100.0
 
 
-def build_bench_scene(big: bool = False, fmt: str = None, arity: int = 4):
+def build_bench_scene(big: bool = False, fmt: str = None, arity: int = 4,
+                      city: bool = False, rebraid: float = 0.0):
     """Teapot + bunny + area light + floor (reference README's path_tracing
     recipe shape). Cached — the host-side BVH build dominates cold time.
 
     big=True: a 6x6 grid of teapots + bunnies (>500k triangles) exercising
     the chunked HBM-streaming traversal (reference-scale scenes like
-    Bistro/Zero-Day are external downloads the judge environment lacks)."""
+    Bistro/Zero-Day are external downloads the judge environment lacks).
+    city=True: a 16x16 grid (514 instances, ~4.1M tris through sharing) —
+    the instance-count regime the ray-sorted TLAS driver is built for.
+    rebraid>1: open the largest instances into subtree TLAS entries."""
     from gfxexp_tpu.scene.builder import SceneBuilder, affine
     from gfxexp_tpu.scene.compile import compile_scene
     from gfxexp_tpu.scene.loaders import load_obj
 
     if fmt is None:
-        fmt = "instanced" if big else "widerow"
+        fmt = "instanced" if (big or city) else "widerow"
+    tag = "city_" if city else ("big_" if big else "")
+    rb = f"_rb{rebraid:g}" if rebraid else ""
     cache_file = os.path.join(
-        _CACHE,
-        f"bench_scene_{'big_' if big else ''}{fmt}_a{arity}_v10.pkl")
+        _CACHE, f"bench_scene_{tag}{fmt}_a{arity}{rb}_v10.pkl")
     if os.path.exists(cache_file):
         try:
             with open(cache_file, "rb") as f:
@@ -63,7 +68,7 @@ def build_bench_scene(big: bool = False, fmt: str = None, arity: int = 4):
     b = SceneBuilder()
     floor = b.add_lambert_material((0.8, 0.8, 0.8))
     light = b.add_lambert_material((0.0, 0.0, 0.0), emittance=(300.0, 300.0, 300.0))
-    side = 4.0 if big else 2.0
+    side = 10.0 if city else (4.0 if big else 2.0)
     floor_geom = b.add_rectangle(side, side, floor)
     b.add_instance(floor_geom)
     light_geom = b.add_rectangle(0.6 * side / 2, 0.6 * side / 2, light)
@@ -106,7 +111,14 @@ def build_bench_scene(big: bool = False, fmt: str = None, arity: int = 4):
                 sphere_b = b.add_sphere(0.2, mat)
             b.add_instance(sphere_b, affine(translation=[tx, 0.2, tz]))
 
-    if big:
+    if city:
+        for gx in range(16):
+            for gz in range(16):
+                tx = (gx - 7.5) * 0.62
+                tz = (gz - 7.5) * 0.62
+                teapot_at(tx, tz)
+                bunny_at(tx + 0.28, tz)
+    elif big:
         for gx in range(6):
             for gz in range(6):
                 tx = (gx - 2.5) * 0.62
@@ -120,7 +132,8 @@ def build_bench_scene(big: bool = False, fmt: str = None, arity: int = 4):
     # big: two-level instancing (36 teapots+bunnies share 2 BLAS tables —
     # memory does not scale with the instance count); fmt overrides let
     # perf probes A/B the traversal structure (qrow = quantized rows)
-    pair = compile_scene(b, arity=arity, max_leaf=4, traversal=fmt)
+    pair = compile_scene(b, arity=arity, max_leaf=4, traversal=fmt,
+                         rebraid=rebraid)
     os.makedirs(_CACHE, exist_ok=True)
     with open(cache_file, "wb") as f:
         import jax
@@ -140,22 +153,34 @@ def main():
     from gfxexp_tpu.render.pathtrace import PTConfig, render_sample
 
     big = "big" in sys.argv[1:]
+    city = "city" in sys.argv[1:]
     fmt = None
     arity = 4
+    rebraid = 0.0
     for a in sys.argv[1:]:
         if a in ("widerow", "qrow", "instanced", "instanced_qrow"):
             fmt = a
         elif a == "a8":
             arity = 8
+        elif a.startswith("rebraid"):
+            rebraid = float(a[7:] or 4.0)
     t0 = time.time()
-    scene, bvh = build_bench_scene(big=big, fmt=fmt, arity=arity)
+    scene, bvh = build_bench_scene(big=big, fmt=fmt, arity=arity,
+                                   city=city, rebraid=rebraid)
     scene = jax.tree_util.tree_map(jnp.asarray, scene)
     bvh = jax.tree_util.tree_map(jnp.asarray, bvh)
+    if "tlas" in sys.argv[1:]:
+        bvh = bvh.replace(use_tlas=True)
     build_s = time.time() - t0
     sys.stderr.write(f"bench: scene built in {build_s:.1f}s; compiling...\n")
     sys.stderr.flush()
 
-    if big:
+    if city:
+        camera = make_camera(
+            [0.0, 4.5, 8.0], fov_y=np.deg2rad(45), aspect=WIDTH / HEIGHT,
+            target=[0.0, 0.1, 0.0],
+        )
+    elif big:
         camera = make_camera(
             [0.0, 2.2, 3.4], fov_y=np.deg2rad(45), aspect=WIDTH / HEIGHT,
             target=[0.0, 0.1, 0.0],
@@ -222,15 +247,18 @@ def main():
         f"compile {compile_s:.1f}s, {TIMED_SAMPLES} samples in {elapsed:.2f}s, "
         f"{total_rays/1e6:.1f} Mrays, mean radiance {float(img.mean()):.4f}\n"
     )
-    if big:
+    if big or city:
         # also keep the render so correctness on the big scene is auditable
         from gfxexp_tpu.utils.image_io import save_png
 
         tone = img.reshape(HEIGHT, WIDTH, 3)
-        save_png(os.path.join(_REPO, "out", "bench_big.png"),
+        save_png(os.path.join(_REPO, "out",
+                              f"bench_{'city' if city else 'big'}.png"),
                  tone / (1.0 + tone))
     print(json.dumps({
-        "metric": "pt_ray_throughput_big" if big else "pt_ray_throughput",
+        "metric": ("pt_ray_throughput_city" if city
+                   else "pt_ray_throughput_big" if big
+                   else "pt_ray_throughput"),
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / TARGET_MRAYS, 4),

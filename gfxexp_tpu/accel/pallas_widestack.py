@@ -306,19 +306,24 @@ def build_widerow(p0, e1, e2, arity: int = 4, max_leaf: int = 4,
 def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
                  stack_depth: int, any_hit: bool, rows: int,
                  instanced: bool = False, culled: bool = False,
-                 n_chunks: int = 0, step_skip: bool = False):
+                 n_chunks: int = 0, step_skip: bool = False,
+                 rebraid: bool = False):
     net = _NET4 if arity <= 4 else _NET8
     K = arity
 
     def kernel(*refs):
-        work = cnt = work_near = None
+        work = cnt = work_near = start_rows = None
         if culled:
             (work, cnt), refs = refs[:2], refs[2:]
         if step_skip:
             (work_near,), refs = refs[:1], refs[1:]
         if instanced:
-            (blas_ids, transforms, nodes, rays,
-             out_t, out_tri, out_u, out_v, out_it, out_inst) = refs
+            if rebraid:
+                (blas_ids, start_rows, transforms, nodes, rays,
+                 out_t, out_tri, out_u, out_v, out_it, out_inst) = refs
+            else:
+                (blas_ids, transforms, nodes, rays,
+                 out_t, out_tri, out_u, out_v, out_it, out_inst) = refs
         else:
             nodes, rays, out_t, out_tri, out_u, out_v, out_it = refs
             transforms = out_inst = None
@@ -390,8 +395,10 @@ def _make_kernel(n_rows_tab: int, arity: int, width: int, max_leaf: int,
          # mode a chunk IS an instance (sorted by BLAS so consecutive
          # instances reuse the resident node table without a new DMA).
          # invalid (padding) steps start every row at -1: the while loop
-         # exits immediately and the carried best-hit state passes through
-         cur0 = jnp.where(step_valid, 0, -1) if culled else 0
+         # exits immediately and the carried best-hit state passes through.
+         # Rebraided entries start at their subtree row instead of the root.
+         row0 = start_rows[chunk_id] if rebraid else 0
+         cur0 = jnp.where(step_valid, row0, -1) if culled else row0
          init = (
              jnp.full((rows, 1), 0, jnp.int32) + cur0,  # cur row (-1 = done)
              jnp.zeros((rows, 1), jnp.int32),  # sp
@@ -818,16 +825,93 @@ class InstancedAccel:
     # chunk AABBs from these on device; None on legacy caches)
     blas_lo: jnp.ndarray = None  # [B, 3]
     blas_hi: jnp.ndarray = None  # [B, 3]
+    # rebraiding (reference: InstanceBVH rebraiding budget,
+    # common/bvh_builder.h:68-75): a large instance contributes SEVERAL
+    # TLAS entries, each starting traversal at a BLAS subtree row with the
+    # subtree's (tighter) AABB — per-tile culling then skips subtrees
+    # instead of whole instances. start_rows[c] is the BLAS row entry c
+    # begins at (0 = root); obj_lo/obj_hi are the entry's OBJECT-space
+    # subtree AABBs (rigid animation recomputes world chunk AABBs from
+    # these). None on non-rebraided builds.
+    start_rows: jnp.ndarray = None  # [C] i32
+    obj_lo: jnp.ndarray = None  # [C, 3]
+    obj_hi: jnp.ndarray = None  # [C, 3]
+    # route every query through the ray-sorted single-pass TLAS driver
+    # (static so the render path picks it up without threading a flag
+    # through PTConfig; neutral-to-slower at ~74 instances, built for
+    # 500+ instance scenes)
+    use_tlas: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_instances(self):
         return self.blas_ids.shape[0]
 
 
+def _row_children(tab, row, arity):
+    """Child (row, lo, hi) triples of an INTERNAL packed row (numpy)."""
+    import numpy as np
+
+    out = []
+    for k in range(arity):
+        meta = int(tab[row, 7 * k + 6:7 * k + 7].view(np.int32)[0])
+        if meta >= 0:
+            out.append((meta, tab[row, 7 * k:7 * k + 3].copy(),
+                        tab[row, 7 * k + 3:7 * k + 6].copy()))
+    return out
+
+
+def _rebraid_entries(entries, tabs, transforms, arity, budget):
+    """Greedily open the largest-world-area entries into their BLAS
+    children until the entry count reaches `budget` (reference:
+    rebraiding budget, common/bvh_builder.h:68-75). entries are
+    (blas, inst, row, obj_lo, obj_hi); transforms[inst] is the 3x4
+    object->world matrix (numpy f64)."""
+    import heapq
+
+    import numpy as np
+
+    def world_area(inst, lo, hi):
+        m = transforms[inst]
+        e = 0.5 * (hi - lo).astype(np.float64)
+        we = np.abs(m[:, :3]) @ e  # rotation/scale part only
+        return 2.0 * (we[0] * we[1] + we[1] * we[2] + we[2] * we[0])
+
+    seq = 0
+    heap = []
+    for ent in entries:
+        heapq.heappush(heap, (-world_area(ent[1], ent[3], ent[4]), seq, ent))
+        seq += 1
+    done = []
+    total = len(heap)
+    while heap and total < budget:
+        _, _, (b, i, row, lo, hi) = heapq.heappop(heap)
+        tab = tabs[b]
+        if tab[row, 63] > 0.5:  # leaf row: cannot open further
+            done.append((b, i, row, lo, hi))
+            continue
+        children = _row_children(tab, row, arity)
+        if total - 1 + len(children) > budget or len(children) <= 1:
+            done.append((b, i, row, lo, hi))
+            continue
+        total += len(children) - 1
+        for crow, clo, chi in children:
+            heapq.heappush(
+                heap, (-world_area(i, clo, chi), seq, (b, i, crow, clo, chi)))
+            seq += 1
+    done.extend(ent for _, _, ent in heap)
+    return done
+
+
 def build_instanced(blas_geoms, instances, arity: int = 4,
-                    max_leaf: int = 4):
+                    max_leaf: int = 4, rebraid: float = 0.0):
     """blas_geoms: list of (p0, e1, e2) object-space triangle arrays.
     instances: list of (blas_id, transform_3x4 object->world).
+
+    rebraid > 1 opens the largest instances' BLAS roots into subtree
+    entries until there are ~rebraid * n_instances TLAS entries
+    (reference: InstanceBVH rebraiding, common/bvh_builder.h:68-75) —
+    per-tile culling then skips subtrees of big instances instead of
+    paying a full-BLAS traversal whenever any part of it is near.
 
     Returns (InstancedAccel, perms) with perms[b] the triangle permutation
     applied to BLAS b's arrays (for shading-side attribute reorder).
@@ -861,21 +945,39 @@ def build_instanced(blas_geoms, instances, arity: int = 4,
         stacked[b, :t.shape[0]] = t
         stacked[b, t.shape[0]:, 63] = 1.0
 
-    order = np.argsort([b for b, _ in instances], kind="stable")
-    blas_ids = np.asarray([instances[i][0] for i in order], np.int32)
-    inv = np.zeros((len(instances), 16), np.float32)
-    chunk_lo = np.zeros((len(instances), 3), np.float32)
-    chunk_hi = np.zeros((len(instances), 3), np.float32)
-    for j, i in enumerate(order):
-        m = np.asarray(instances[i][1], np.float64).reshape(3, 4)
+    mats = [np.asarray(t, np.float64).reshape(3, 4) for _, t in instances]
+    # TLAS entries: (blas, instance, start row, object lo, object hi).
+    # Default one whole-BLAS entry per instance; rebraiding opens the
+    # biggest ones into subtree entries.
+    entries = [(b, i, 0, np.asarray(blas_lo[b], np.float32),
+                np.asarray(blas_hi[b], np.float32))
+               for i, (b, _) in enumerate(instances)]
+    rebraided = rebraid and rebraid > 1 and len(instances) >= 1
+    if rebraided:
+        entries = _rebraid_entries(entries, tabs, mats, arity,
+                                   int(rebraid * len(instances)))
+    # sort by BLAS id so consecutive grid steps reuse the resident table
+    order = np.argsort([e[0] for e in entries], kind="stable")
+    entries = [entries[j] for j in order]
+
+    n_c = len(entries)
+    blas_ids = np.asarray([e[0] for e in entries], np.int32)
+    inst_of_chunk = np.asarray([e[1] for e in entries], np.int32)
+    start_rows = np.asarray([e[2] for e in entries], np.int32)
+    obj_lo = np.stack([e[3] for e in entries]).astype(np.float32)
+    obj_hi = np.stack([e[4] for e in entries]).astype(np.float32)
+    inv = np.zeros((n_c, 16), np.float32)
+    chunk_lo = np.zeros((n_c, 3), np.float32)
+    chunk_hi = np.zeros((n_c, 3), np.float32)
+    for j, (b, i, row, lo, hi) in enumerate(entries):
+        m = mats[i]
         r_inv = np.linalg.inv(m[:, :3])
         t_inv = -r_inv @ m[:, 3]
         inv[j, 0:12] = np.concatenate(
             [np.concatenate([r_inv[k], [t_inv[k]]]) for k in range(3)])
-        # world AABB of the instanced BLAS (affine AABB transform)
-        b = instances[i][0]
-        c = 0.5 * (blas_lo[b] + blas_hi[b])
-        e = 0.5 * (blas_hi[b] - blas_lo[b])
+        # world AABB of the entry's subtree (affine AABB transform)
+        c = 0.5 * (lo + hi)
+        e = 0.5 * (hi - lo)
         wc = m[:, :3] @ c + m[:, 3]
         we = np.abs(m[:, :3]) @ e
         chunk_lo[j] = wc - we
@@ -884,11 +986,14 @@ def build_instanced(blas_geoms, instances, arity: int = 4,
         nodes=jnp.asarray(stacked),
         blas_ids=jnp.asarray(blas_ids),
         inv_transforms=jnp.asarray(inv),
-        inst_of_chunk=jnp.asarray(order.astype(np.int32)),
+        inst_of_chunk=jnp.asarray(inst_of_chunk),
         arity=arity, width=64, max_leaf=max_leaf, max_depth=max_depth,
         chunk_lo=jnp.asarray(chunk_lo), chunk_hi=jnp.asarray(chunk_hi),
         blas_lo=jnp.asarray(np.stack(blas_lo).astype(np.float32)),
         blas_hi=jnp.asarray(np.stack(blas_hi).astype(np.float32)),
+        start_rows=jnp.asarray(start_rows) if rebraided else None,
+        obj_lo=jnp.asarray(obj_lo) if rebraided else None,
+        obj_hi=jnp.asarray(obj_hi) if rebraided else None,
     ), perms
 
 
@@ -898,14 +1003,15 @@ def build_instanced(blas_geoms, instances, arity: int = 4,
                      "stack_depth", "any_hit", "rows"))
 def _run_instanced(nodes, blas_ids, transforms, rays, n_rows_tab, arity,
                    width, max_leaf, stack_depth, any_hit, rows,
-                   chunk_lo=None, chunk_hi=None):
+                   chunk_lo=None, chunk_hi=None, start_rows=None):
     g = rays.shape[0]
     n_inst = blas_ids.shape[0]
     tile = rows * _LANE
     culled = chunk_lo is not None and n_inst > 1
+    rebraid = start_rows is not None
     kernel = _make_kernel(n_rows_tab, arity, width, max_leaf, stack_depth,
                           any_hit, rows, instanced=True, culled=culled,
-                          n_chunks=n_inst)
+                          n_chunks=n_inst, rebraid=rebraid)
     out_shape = [
         jax.ShapeDtypeStruct((g, rows, _LANE), jnp.float32),
         jax.ShapeDtypeStruct((g, rows, _LANE), jnp.int32),
@@ -922,29 +1028,32 @@ def _run_instanced(nodes, blas_ids, transforms, rays, n_rows_tab, arity,
         return _run_instanced_pass(
             nodes, blas_ids, transforms, rays, work, cnt,
             n_rows_tab, arity, width, max_leaf, stack_depth, any_hit,
-            rows, n_inst, work_near=work_near)
-    out_block = pl.BlockSpec((1, rows, _LANE), lambda i, c, b, tf: (i, 0, 0),
+            rows, n_inst, work_near=work_near, start_rows=start_rows)
+    out_block = pl.BlockSpec((1, rows, _LANE), lambda i, c, *p: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # blas_ids, flat inv transforms (SMEM)
+        # blas_ids, [start_rows], flat inv transforms (SMEM)
+        num_scalar_prefetch=3 if rebraid else 2,
         grid=(g, n_inst),
         in_specs=[
             # BLAS table selected by the prefetched id; consecutive equal
             # ids revisit the resident block (no DMA)
             pl.BlockSpec((1, n_rows_tab, width),
-                         lambda i, c, b, tf: (b[c], 0, 0),
+                         lambda i, c, b, *p: (b[c], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, tile), lambda i, c, b, tf: (i, 0, 0),
+            pl.BlockSpec((1, 8, tile), lambda i, c, *p: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_block] * 6,
     )
+    pref = (blas_ids,) + ((start_rows,) if rebraid else ()) + (
+        transforms.reshape(-1),)
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=jax.default_backend() != "tpu",
-    )(blas_ids, transforms.reshape(-1), nodes, rays)
+    )(*pref, nodes, rays)
 
 
 def _traverse_instanced(acc: InstancedAccel, o, d, t_min, t_max,
@@ -994,6 +1103,7 @@ def _traverse_instanced(acc: InstancedAccel, o, d, t_min, t_max,
             rows=rows,
             chunk_lo=getattr(acc, "chunk_lo", None),
             chunk_hi=getattr(acc, "chunk_hi", None),
+            start_rows=getattr(acc, "start_rows", None),
         )
     flat = lambda x: x.reshape(n_pad)[:n_rays]
     best_tri = flat(best_tri)
@@ -1024,18 +1134,22 @@ def _traverse_instanced(acc: InstancedAccel, o, d, t_min, t_max,
 
 def _run_instanced_pass(nodes, blas_ids, transforms, rays, work, cnt,
                         n_rows_tab, arity, width, max_leaf, stack_depth,
-                        any_hit, rows, max_w, work_near=None):
+                        any_hit, rows, max_w, work_near=None,
+                        start_rows=None):
     """One sorted TLAS pass: grid (tiles, max_w); the node table for step
     (i, c) is BLAS blas_ids[work[i*max_w+c]]; steps past cnt[i] are no-ops
     revisiting the resident block. work_near (i32 bits of the f32 entry
     distances, same layout as work) additionally skips any step whose
-    entry distance exceeds the tile's current worst best-t."""
+    entry distance exceeds the tile's current worst best-t. start_rows
+    (rebraiding) makes each entry start its BLAS walk at a subtree row."""
     g = rays.shape[0]
     tile = rows * _LANE
     step_skip = work_near is not None
+    rebraid = start_rows is not None
     kernel = _make_kernel(n_rows_tab, arity, width, max_leaf, stack_depth,
                           any_hit, rows, instanced=True, culled=True,
-                          n_chunks=max_w, step_skip=step_skip)
+                          n_chunks=max_w, step_skip=step_skip,
+                          rebraid=rebraid)
     out_shape = [
         jax.ShapeDtypeStruct((g, rows, _LANE), jnp.float32),
         jax.ShapeDtypeStruct((g, rows, _LANE), jnp.int32),
@@ -1044,13 +1158,15 @@ def _run_instanced_pass(nodes, blas_ids, transforms, rays, work, cnt,
         jax.ShapeDtypeStruct((g, rows, _LANE), jnp.int32),  # iterations
         jax.ShapeDtypeStruct((g, rows, _LANE), jnp.int32),  # instance
     ]
-    n_pref = 5 if step_skip else 4
+    n_pref = 4 + int(step_skip) + int(rebraid)
+    # prefetch layout: work, cnt, [near], blas_ids, [start_rows], tfs
+    bi = -3 if rebraid else -2
 
     def out_ix(i, c, *_):
         return (i, 0, 0)
 
     def tab_ix(i, c, w, *rest):
-        b = rest[-2]
+        b = rest[bi]
         return (b[w[i * max_w + c]], 0, 0)
 
     out_block = pl.BlockSpec((1, rows, _LANE), out_ix,
@@ -1067,7 +1183,8 @@ def _run_instanced_pass(nodes, blas_ids, transforms, rays, work, cnt,
         out_specs=[out_block] * 6,
     )
     pref = (work, cnt) + ((work_near,) if step_skip else ()) + (
-        blas_ids, transforms.reshape(-1))
+        blas_ids,) + ((start_rows,) if rebraid else ()) + (
+        transforms.reshape(-1),)
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -1101,7 +1218,8 @@ def _instance_entry_dists(chunk_lo, chunk_hi, o, d, t_min, t_max):
                      "stack_depth", "any_hit", "rows"))
 def _run_tlas_wavefront(nodes, blas_ids, transforms, chunk_lo, chunk_hi,
                         o, d, t_min, t_max, n_rows_tab, arity, width,
-                        max_leaf, stack_depth, any_hit, rows):
+                        max_leaf, stack_depth, any_hit, rows,
+                        start_rows=None):
     """ONE sorted nearest-first pass over instance-sorted rays.
 
     Rays are argsorted by their nearest-entered instance AABB, then each
@@ -1170,7 +1288,8 @@ def _run_tlas_wavefront(nodes, blas_ids, transforms, chunk_lo, chunk_hi,
     pt, ptri, pu, pv, _, pchunk = _run_instanced_pass(
         nodes, blas_ids, transforms, rays, work.reshape(-1), cnt,
         n_rows_tab, arity, width, max_leaf, stack_depth, any_hit,
-        rows, n_chunks, work_near=work_near.reshape(-1))
+        rows, n_chunks, work_near=work_near.reshape(-1),
+        start_rows=start_rows)
     pt, ptri, pu, pv, pchunk = ob((pt, ptri, pu, pv, pchunk))
 
     def unperm(x, dtype):
@@ -1216,7 +1335,7 @@ def _traverse_instanced_tlas(acc: InstancedAccel, o, d, t_min, t_max,
         o_p, d_p, pad(t_min, 0.0), pad(t_max, -1.0),
         n_rows_tab=acc.nodes.shape[1], arity=acc.arity, width=acc.width,
         max_leaf=acc.max_leaf, stack_depth=stack_depth, any_hit=any_hit,
-        rows=rows)
+        rows=rows, start_rows=getattr(acc, "start_rows", None))
     flat = lambda x: x[:n_rays]
     best_tri = flat(best_tri)
     best_chunk = flat(best_chunk)
@@ -1240,10 +1359,12 @@ def intersect_closest_instanced(acc: InstancedAccel, o, d, t_min=1e-4,
 
     The default path runs per-tile nearest-first instance worklists with
     an in-kernel distance step-skip (a TLAS analogue at tile
-    granularity). tlas=True additionally argsorts RAYS by nearest
-    instance before the pass — measured neutral-to-slower on the 74-
-    instance bench scene (the sort/permute glue costs more than the
-    extra coherence buys), kept for A/B on scenes with more instances."""
+    granularity). tlas=True (or acc.use_tlas) additionally argsorts RAYS
+    by nearest instance before the pass — measured neutral-to-slower on
+    the 74-instance bench scene (the sort/permute glue costs more than
+    the extra coherence buys), kept for A/B on scenes with more
+    instances."""
+    tlas = tlas or getattr(acc, "use_tlas", False)
     if tlas and getattr(acc, "chunk_lo", None) is not None \
             and acc.num_instances > 1 and acc.width != 32:
         return _traverse_instanced_tlas(acc, o, d, t_min, t_max,
@@ -1255,6 +1376,7 @@ def intersect_closest_instanced(acc: InstancedAccel, o, d, t_min=1e-4,
 def intersect_any_instanced(acc: InstancedAccel, o, d, t_min=1e-4,
                             t_max=1e30, rows: int = ROWS,
                             tlas: bool = False):
+    tlas = tlas or getattr(acc, "use_tlas", False)
     if tlas and getattr(acc, "chunk_lo", None) is not None \
             and acc.num_instances > 1 and acc.width != 32:
         hit, _ = _traverse_instanced_tlas(acc, o, d, t_min, t_max,

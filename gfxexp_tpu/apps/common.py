@@ -51,6 +51,11 @@ def make_arg_parser(name: str) -> argparse.ArgumentParser:
                         "for static scenes, skip for animated)")
     p.add_argument("-spatial-splits", action="store_true",
                    help="SBVH spatial splits at BVH build")
+    p.add_argument("-rebraid", type=float, default=0.0,
+                   help="TLAS rebraiding budget for -traversal instanced: "
+                        "open the largest instances into ~REBRAID x "
+                        "n_instances subtree entries (reference: "
+                        "common/bvh_builder.h:68-75); 0/1 disables")
     p.add_argument("-fused-shadow-rays", action="store_true",
                    help="batch NEE shadow rays with the next bounce's "
                         "closest rays in one traversal launch")

@@ -53,7 +53,8 @@ def main(argv=None):
         # static scenes default to the fast wide-row kernel; animated
         # ones need the refittable skip-link structure
         traversal=args.traversal or ("skip" if controllers else "widerow"),
-        spatial_splits=args.spatial_splits)
+        spatial_splits=args.spatial_splits,
+        rebraid=args.rebraid if traversal.startswith("instanced") else 0.0)
     camera = common.make_camera_from_args(args)
     nrc_cfg = NRCConfig(position_encoding=args.position_encoding,
                         num_hidden_layers=args.num_hidden_layers,

@@ -38,7 +38,8 @@ def main(argv=None):
         # ones need the refittable skip-link structure
         traversal=traversal,
         spatial_splits=args.spatial_splits
-        if traversal in ("widerow", "qrow") else False)
+        if traversal in ("widerow", "qrow") else False,
+        rebraid=args.rebraid if traversal.startswith("instanced") else 0.0)
     camera = common.make_camera_from_args(args)
     cfg = PTConfig(max_path_length=args.max_path_length,
                    enable_jitter=not args.no_jitter,

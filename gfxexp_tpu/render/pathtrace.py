@@ -247,7 +247,12 @@ def _displaced_closest(scene, ray_o, ray_d, tmax):
     post-pass composited with the triangle hit by distance."""
     if not scene.displaced:
         return None
-    from gfxexp_tpu.core.curves import CurveSegments, intersect_curve_segments
+    from gfxexp_tpu.core.curves import (
+        CurveSegments,
+        CurveSpans,
+        intersect_curve_segments,
+        intersect_curve_spans,
+    )
     from gfxexp_tpu.techniques.shell import ShellGeometry, intersect_shell
     from gfxexp_tpu.techniques.tfdm import TFDMGeometry, intersect_tfdm_v2
 
@@ -261,6 +266,11 @@ def _displaced_closest(scene, ray_o, ray_d, tmax):
             # primitives in the GAS, curve_evaluator.h:309)
             dh = intersect_curve_segments(g, ray_o, ray_d, t_min=1e-4,
                                           t_max=tmax)
+            mat = jnp.full_like(dh.prim, g.material)
+        elif isinstance(g, CurveSpans):
+            # exact higher-order swept-sphere spans (canal-surface Newton)
+            dh = intersect_curve_spans(g, ray_o, ray_d, t_min=1e-4,
+                                       t_max=tmax)
             mat = jnp.full_like(dh.prim, g.material)
         elif isinstance(g, ShellGeometry):
             dh = intersect_shell(g, ray_o, ray_d, t_min=1e-4, t_max=tmax)
@@ -303,7 +313,12 @@ def _displaced_occluded(scene, o, d, tmax):
     occ = jnp.zeros(o.shape[:1], bool)
     if not scene.displaced:
         return occ
-    from gfxexp_tpu.core.curves import CurveSegments, intersect_curve_segments
+    from gfxexp_tpu.core.curves import (
+        CurveSegments,
+        CurveSpans,
+        intersect_curve_segments,
+        intersect_curve_spans,
+    )
     from gfxexp_tpu.techniques.shell import ShellGeometry, intersect_shell
     from gfxexp_tpu.techniques.tfdm import TFDMGeometry, intersect_tfdm_v2
 
@@ -312,6 +327,8 @@ def _displaced_occluded(scene, o, d, tmax):
             dh = intersect_tfdm_v2(g, o, d, t_min=1e-4, t_max=tmax)
         elif isinstance(g, CurveSegments):
             dh = intersect_curve_segments(g, o, d, t_min=1e-4, t_max=tmax)
+        elif isinstance(g, CurveSpans):
+            dh = intersect_curve_spans(g, o, d, t_min=1e-4, t_max=tmax)
         elif isinstance(g, ShellGeometry):
             dh = intersect_shell(g, o, d, t_min=1e-4, t_max=tmax)
         else:

@@ -253,9 +253,13 @@ def update_instanced_accel(acc, new_transforms):
     inv16 = jnp.zeros((n_c, 16), jnp.float32)
     inv16 = inv16.at[:, 0:12].set(
         jnp.concatenate([rinv, tinv[:, :, None]], axis=2).reshape(n_c, 12))
-    # affine AABB transform: |R| e trick over the BLAS object bounds
-    blo = acc.blas_lo[acc.blas_ids]
-    bhi = acc.blas_hi[acc.blas_ids]
+    # affine AABB transform: |R| e trick over the entry's object bounds —
+    # per-chunk subtree AABBs when rebraided, else the BLAS root AABBs
+    if getattr(acc, "obj_lo", None) is not None:
+        blo, bhi = acc.obj_lo, acc.obj_hi
+    else:
+        blo = acc.blas_lo[acc.blas_ids]
+        bhi = acc.blas_hi[acc.blas_ids]
     c = 0.5 * (blo + bhi)
     e = 0.5 * (bhi - blo)
     wc = jnp.einsum("cij,cj->ci", m[:, :, :3], c) + m[:, :, 3]

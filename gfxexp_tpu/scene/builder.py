@@ -254,9 +254,12 @@ class SceneBuilder:
         common_host.cpp:1999 / curve_evaluator.h; exact evaluators in
         core/curves.py).
 
-        direct=True traces the curve as exact round-linear swept-sphere
-        segments in the pipeline (higher-order bases flatten to a
-        round-linear polyline of the exact curve); direct=False (default)
+        direct=True traces the curve exactly in the pipeline: linear
+        curves as round-linear cone-sphere segments, higher-order bases
+        (quadratic/cubic B-spline, Catmull-Rom, Bezier) as EXACT canal-
+        surface spans (multi-seeded Newton on the swept-sphere envelope,
+        core/curves.py intersect_swept_sphere_span — the counterpart of
+        OptiX's built-in curve intersectors). direct=False (default)
         tessellates to a triangle tube. Direct curves live beside the
         displaced primitives, so the returned id is NOT a triangle
         geometry id (it cannot be instanced/transformed)."""
@@ -322,10 +325,18 @@ class SceneBuilder:
         for (kind, pos, idx, uvs, height, params, mat,
              normals) in self.displaced_geoms:
             if kind == "curve":
-                from gfxexp_tpu.core.curves import build_curve_segments
+                from gfxexp_tpu.core.curves import (
+                    CURVE_LINEAR,
+                    build_curve_segments,
+                    build_curve_spans,
+                )
 
-                out.append(build_curve_segments(
-                    pos, height, material=mat, curve_type=params))
+                if params == CURVE_LINEAR:
+                    out.append(build_curve_segments(
+                        pos, height, material=mat, curve_type=params))
+                else:
+                    out.append(build_curve_spans(
+                        pos, height, material=mat, curve_type=params))
             elif kind == "shell":
                 from gfxexp_tpu.techniques.shell import build_shell_geometry
 
@@ -559,7 +570,8 @@ class SceneBuilder:
 
 
     def compile_instanced(self, arity: int = 4, max_leaf: int = 4,
-                          node_format: str = "widerow"):
+                          node_format: str = "widerow",
+                          rebraid: float = 0.0):
         """Two-level compile: per-group BLAS tables shared by instances
         (the reference's GAS/IAS split, common_host.h:1027 updateASs).
 
@@ -630,6 +642,11 @@ class SceneBuilder:
         if node_format == "qrow":
             from gfxexp_tpu.accel.pallas_qrow import build_instanced_q
 
+            if rebraid and rebraid > 1:
+                raise ValueError(
+                    "rebraiding is not implemented for the qrow instanced "
+                    "format yet; use node_format='widerow' (no silent "
+                    "fallback)")
             acc, perms, dq = build_instanced_q(
                 [(b[0]["p0"], b[0]["e1"], b[0]["e2"]) for b in blas_raw],
                 [(inst_blas[i], self.instances[i].transform)
@@ -639,7 +656,7 @@ class SceneBuilder:
                 [(b[0]["p0"], b[0]["e1"], b[0]["e2"]) for b in blas_raw],
                 [(inst_blas[i], self.instances[i].transform)
                  for i in range(len(self.instances))],
-                arity=arity, max_leaf=max_leaf)
+                arity=arity, max_leaf=max_leaf, rebraid=rebraid)
         # apply per-blas permutations; track old->new local index for the
         # light-order mapping (light order stays GEOMETRY order)
         blas_cat = {k: [] for k in blas_raw[0][0]}

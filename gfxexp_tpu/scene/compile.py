@@ -54,7 +54,7 @@ def apply_triangle_permutation(scene: SceneData, perm: np.ndarray) -> SceneData:
 def compile_scene(
     builder: SceneBuilder, arity: int = 4, max_leaf: int = 4,
     traversal: str = "skip", use_probability_texture: bool = False,
-    spatial_splits: bool = False,
+    spatial_splits: bool = False, rebraid: float = 0.0,
 ):
     """traversal="skip" (default) produces the stackless SkipBVH;
     traversal="widerow" produces the packed row table for the ordered-stack
@@ -72,7 +72,7 @@ def compile_scene(
         return builder.compile_instanced(
             arity=arity, max_leaf=max_leaf,
             node_format="qrow" if traversal == "instanced_qrow"
-            else "widerow")
+            else "widerow", rebraid=rebraid)
     scene = builder.compile(
         use_probability_texture=use_probability_texture)
     if traversal == "widerow":

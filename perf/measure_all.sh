@@ -21,5 +21,10 @@ run qrow_ab       python perf/qrow_ab.py
 run big           python bench.py big
 run big_qrow      python bench.py big instanced_qrow
 run big_fused     python bench.py big fused
+run big_rebraid   python bench.py big rebraid4
+run city          python bench.py city
+run city_tlas     python bench.py city tlas
+run city_rebraid  python bench.py city rebraid4
+run city_tlas_rb  python bench.py city tlas rebraid4
 echo "=== summary ==="
 grep -h '"metric"' "$OUT"/*.log 2>/dev/null

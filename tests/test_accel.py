@@ -376,6 +376,89 @@ def test_tlas_wavefront_matches_dense_grid(rng_np):
     assert np.array_equal(np.asarray(ha.hit), np.asarray(hat.hit))
 
 
+def test_rebraided_instanced_matches_unrebraided(rng_np):
+    """Rebraiding (several TLAS entries per instance, each starting its
+    BLAS walk at a subtree row with the subtree's tighter AABB —
+    reference: InstanceBVH rebraiding budget, common/bvh_builder.h:68-75)
+    must not change results: same hits/t/tri/instance as whole-BLAS
+    entries, on the dense-grid, sorted-TLAS, and any-hit drivers, and
+    rigid animation must keep working on the rebraided structure."""
+    from gfxexp_tpu.accel.pallas_widestack import (
+        _traverse_instanced_tlas,
+        build_instanced,
+        intersect_any_instanced,
+        intersect_closest_instanced,
+    )
+    from gfxexp_tpu.scene.animation import update_instanced_accel
+
+    p0, p1, p2 = _random_tri_soup(rng_np, 120, spread=2.0)
+    q0, q1, q2 = _random_tri_soup(rng_np, 60, spread=1.0)
+
+    def xlate(scale, t):
+        m = np.zeros((3, 4), np.float32)
+        m[0, 0] = m[1, 1] = m[2, 2] = scale
+        m[:, 3] = t
+        return m
+
+    # one BIG instance spanning the scene (the rebraid target) + smaller
+    # ones — greedy opening must split instance 0 into subtree entries
+    instances = [
+        (0, xlate(3.0, [0, 0, 0])),
+        (1, xlate(0.8, [5, 1, -2])),
+        (0, xlate(0.6, [-5, -1, 3])),
+        (1, xlate(0.9, [2, 6, 2])),
+    ]
+    blas = [(p0, p1 - p0, p2 - p0), (q0, q1 - q0, q2 - q0)]
+    acc0, perms0 = build_instanced(blas, instances)
+    accr, permsr = build_instanced(blas, instances, rebraid=4.0)
+
+    # same BLAS tables -> same permutations; more entries than instances,
+    # at least one starting below the root
+    for a, b in zip(perms0, permsr):
+        assert np.array_equal(a, b)
+    assert accr.num_instances > len(instances)
+    assert int(np.asarray(accr.start_rows).max()) > 0
+
+    n_rays = 400
+    o = rng_np.uniform(-10, 10, size=(n_rays, 3)).astype(np.float32)
+    d = rng_np.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+
+    h0, i0 = intersect_closest_instanced(acc0, oj, dj)
+    hr, ir = intersect_closest_instanced(accr, oj, dj)
+    assert np.array_equal(np.asarray(h0.hit), np.asarray(hr.hit))
+    m = np.asarray(h0.hit)
+    assert np.allclose(np.asarray(h0.t)[m], np.asarray(hr.t)[m], rtol=1e-5)
+    assert np.array_equal(np.asarray(h0.tri)[m], np.asarray(hr.tri)[m])
+    assert np.array_equal(np.asarray(i0)[m], np.asarray(ir)[m])
+
+    ht, it = _traverse_instanced_tlas(accr, oj, dj, 1e-4, 1e30,
+                                      any_hit=False)
+    assert np.array_equal(np.asarray(h0.hit), np.asarray(ht.hit))
+    assert np.array_equal(np.asarray(h0.tri)[m], np.asarray(ht.tri)[m])
+    assert np.array_equal(np.asarray(i0)[m], np.asarray(it)[m])
+
+    occ0 = intersect_any_instanced(acc0, oj, dj)
+    occr = intersect_any_instanced(accr, oj, dj)
+    assert np.array_equal(np.asarray(occ0), np.asarray(occr))
+
+    # rigid animation: move instances, refresh BOTH structures on device,
+    # results must still agree (per-entry subtree AABBs recomputed)
+    new_tf = np.stack([xlate(3.0, [1, 0.5, 0]), xlate(0.8, [6, 1, -1]),
+                       xlate(0.6, [-6, -2, 3]), xlate(0.9, [2, 5, 3])])
+    acc0a = update_instanced_accel(acc0, jnp.asarray(new_tf))
+    accra = update_instanced_accel(accr, jnp.asarray(new_tf))
+    h0a, i0a = intersect_closest_instanced(acc0a, oj, dj)
+    hra, ira = intersect_closest_instanced(accra, oj, dj)
+    assert np.array_equal(np.asarray(h0a.hit), np.asarray(hra.hit))
+    ma = np.asarray(h0a.hit)
+    assert np.allclose(np.asarray(h0a.t)[ma], np.asarray(hra.t)[ma],
+                       rtol=1e-5)
+    assert np.array_equal(np.asarray(h0a.tri)[ma], np.asarray(hra.tri)[ma])
+    assert np.array_equal(np.asarray(i0a)[ma], np.asarray(ira)[ma])
+
+
 def test_sbvh_spatial_splits_match_bruteforce(rng_np):
     """SBVH build (spatial splits + reference duplication, reference:
     bvh_builder.cpp:313,506) must agree with brute force on hit t (tri ids

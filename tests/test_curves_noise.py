@@ -251,3 +251,83 @@ def test_curve_direct_render_vs_tube():
     diff = np.abs(im_direct - im_tube).mean()
     scale = np.abs(im_tube).mean() + 1e-6
     assert diff / scale < 0.25, diff / scale
+
+
+def test_exact_span_intersection_vs_dense_polyline():
+    """The exact canal-surface span intersector (multi-seeded Newton,
+    intersect_swept_sphere_span) must agree with a DENSE round-linear
+    polyline of the same curve to well under the polyline's own chord
+    error, across all higher-order bases and a fan of ray directions."""
+    from gfxexp_tpu.core.curves import (
+        build_curve_segments,
+        build_curve_spans,
+        intersect_curve_segments,
+        intersect_curve_spans,
+    )
+
+    rng = np.random.default_rng(7)
+    cp = np.array([[0, 0, 0], [1, 1.2, 0.3], [2, -0.8, -0.4], [3, 0.2, 0.5],
+                   [4, 1.0, 0.0]], np.float32)
+    r = np.array([0.22, 0.15, 0.3, 0.18, 0.25], np.float32)
+
+    for ct in (CURVE_CUBIC_BSPLINE, CURVE_CATMULL_ROM, CURVE_BEZIER,
+               CURVE_QUADRATIC_BSPLINE):
+        k = 3 if ct == CURVE_QUADRATIC_BSPLINE else 4
+        cpk, rk = cp[:k + 1], r[:k + 1]  # 2 spans
+        spans = build_curve_spans(cpk, rk, curve_type=ct)
+        poly = build_curve_segments(cpk, rk, curve_type=ct, n_subdiv=256)
+
+        n = 200
+        o = rng.uniform(-1, 5, size=(n, 3)).astype(np.float32)
+        o[:, 2] = rng.uniform(2.0, 4.0, size=n)
+        tgt = rng.uniform(-0.5, 4.5, size=(n, 3)).astype(np.float32)
+        tgt[:, 2] = rng.uniform(-0.3, 0.5, size=n)
+        d = tgt - o
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        oj, dj = jnp.asarray(o), jnp.asarray(d)
+
+        he = intersect_curve_spans(spans, oj, dj)
+        hp = intersect_curve_segments(poly, oj, dj)
+
+        hit_e = np.asarray(he.hit)
+        hit_p = np.asarray(hp.hit)
+        # the dense polyline inscribes the curve: every polyline hit must
+        # be found by the exact intersector (tolerate <2% silhouette-edge
+        # disagreements where the polyline chord pokes out)
+        miss = hit_p & ~hit_e
+        assert miss.mean() < 0.02, (ct, int(miss.sum()), int(hit_p.sum()))
+        both = hit_e & hit_p
+        assert both.sum() > 20, (ct, int(both.sum()))
+        dt = np.abs(np.asarray(he.t) - np.asarray(hp.t))[both]
+        assert np.percentile(dt, 90) < 5e-3, (ct, float(np.percentile(dt, 90)))
+        # normals agree where both hit squarely
+        ne = np.asarray(he.normal)[both]
+        npl = np.asarray(hp.normal)[both]
+        cos = np.sum(ne * npl, axis=-1)
+        assert np.percentile(cos, 10) > 0.95, (ct, float(np.percentile(cos, 10)))
+
+
+def test_exact_span_analytic_cylinder():
+    """A 'cubic' span with collinear control points and constant radius is
+    a cylinder: the exact intersector must match the analytic hit to
+    float precision (not just polyline tolerance)."""
+    from gfxexp_tpu.core.curves import (
+        build_curve_spans,
+        intersect_curve_spans,
+    )
+
+    # cubic B-spline with uniform collinear CPs traces the straight line
+    cp = np.array([[i, 0, 0] for i in range(4)], np.float32)
+    r = np.full(4, 0.3, np.float32)
+    spans = build_curve_spans(cp, r, curve_type=CURVE_CUBIC_BSPLINE)
+    # span covers x in [1, 2]; fire perpendicular rays at x = 1.5
+    o = jnp.asarray([[1.5, 0.0, 2.0], [1.5, 0.2, 2.0]])
+    d = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])
+    h = intersect_curve_spans(spans, o, d)
+    assert bool(h.hit[0]) and bool(h.hit[1])
+    assert abs(float(h.t[0]) - (2.0 - 0.3)) < 1e-4
+    # chord at y=0.2: z = sqrt(r^2 - y^2)
+    zc = np.sqrt(0.3**2 - 0.2**2)
+    assert abs(float(h.t[1]) - (2.0 - zc)) < 1e-4
+    n = np.asarray(h.normal)
+    assert np.allclose(n[0], [0, 0, 1], atol=1e-3)
