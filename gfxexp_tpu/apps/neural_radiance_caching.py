@@ -48,11 +48,12 @@ def main(argv=None):
     builder, controllers = common.build_scene_from_dsl(args, args.scene_args)
     if not builder.instances:
         builder = common.default_demo_builder()
+    # static scenes default to the fast wide-row kernel; animated
+    # ones need the refittable skip-link structure
+    traversal = args.traversal or ("skip" if controllers else "widerow")
     scene, bvh = compile_scene(
         builder,
-        # static scenes default to the fast wide-row kernel; animated
-        # ones need the refittable skip-link structure
-        traversal=args.traversal or ("skip" if controllers else "widerow"),
+        traversal=traversal,
         spatial_splits=args.spatial_splits,
         rebraid=args.rebraid if traversal.startswith("instanced") else 0.0)
     camera = common.make_camera_from_args(args)
@@ -73,6 +74,8 @@ def main(argv=None):
 
     film = make_film(args.width, args.height)
     timer = common.PassTimer()
+    denoiser = common.maybe_denoiser(args)
+    denoised = None
     for f in range(args.frames):
         if controllers:
             scene, bvh = timer.measure(
@@ -85,6 +88,9 @@ def main(argv=None):
             state, loss = timer.measure(
                 "train", train_step, state, tq, tt, tm, nrc_cfg)
         film = add_sample(film, radiance.reshape(args.height, args.width, 3))
+        if denoiser is not None:
+            denoised = denoiser.step(scene, bvh, camera, f, film.beauty,
+                                     timer, not args.no_jitter)
         if args.stats and (f % 16 == 15):
             print(f"frame {f + 1}/{args.frames}: {timer.report()}, "
                   f"loss {float(loss):.4f}", file=sys.stderr)
@@ -116,7 +122,8 @@ def main(argv=None):
         save_png(args.output + "_cache.png", vis / (1.0 + vis))
         print(f"wrote {args.output}_cache.png", file=sys.stderr)
 
-    common.save_outputs(args, np.asarray(film.beauty))
+    common.save_outputs(
+        args, np.asarray(denoised if denoised is not None else film.beauty))
     if args.checkpoint:
         from gfxexp_tpu.utils.checkpoint import save_checkpoint
 

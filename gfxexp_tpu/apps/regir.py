@@ -41,11 +41,12 @@ def main(argv=None):
     builder, controllers = common.build_scene_from_dsl(args, args.scene_args)
     if not builder.instances:
         builder = common.default_demo_builder()
+    # static scenes default to the fast wide-row kernel; animated
+    # ones need the refittable skip-link structure
+    traversal = args.traversal or ("skip" if controllers else "widerow")
     scene, bvh = compile_scene(
         builder,
-        # static scenes default to the fast wide-row kernel; animated
-        # ones need the refittable skip-link structure
-        traversal=args.traversal or ("skip" if controllers else "widerow"),
+        traversal=traversal,
         spatial_splits=args.spatial_splits,
         rebraid=args.rebraid if traversal.startswith("instanced") else 0.0)
     camera = common.make_camera_from_args(args)
@@ -65,6 +66,8 @@ def main(argv=None):
     state = make_regir_state(regir_cfg)
     film = make_film(args.width, args.height)
     timer = common.PassTimer()
+    denoiser = common.maybe_denoiser(args)
+    denoised = None
     for f in range(args.frames):
         if controllers:
             scene, bvh = timer.measure(
@@ -77,12 +80,16 @@ def main(argv=None):
             args.width, args.height, jnp.uint32(f), pt_cfg, regir_cfg)
         state = finalize_frame(state, f)
         film = add_sample(film, radiance.reshape(args.height, args.width, 3))
+        if denoiser is not None:
+            denoised = denoiser.step(scene, bvh, camera, f, film.beauty,
+                                     timer, not args.no_jitter)
         if args.stats and (f % 16 == 15):
             n_active = int(np.asarray(state.num_accesses > 0).sum())
             print(f"frame {f + 1}/{args.frames}: {timer.report()}, "
                   f"active cells {n_active}", file=sys.stderr)
 
-    common.save_outputs(args, np.asarray(film.beauty))
+    common.save_outputs(
+        args, np.asarray(denoised if denoised is not None else film.beauty))
     if args.stats:
         print("final:", timer.report(), file=sys.stderr)
 

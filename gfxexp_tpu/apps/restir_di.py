@@ -49,11 +49,12 @@ def main(argv=None):
     builder, controllers = common.build_scene_from_dsl(args, args.scene_args)
     if not builder.instances:
         builder = common.default_demo_builder()
+    # static scenes default to the fast wide-row kernel; animated
+    # ones need the refittable skip-link structure
+    traversal = args.traversal or ("skip" if controllers else "widerow")
     scene, bvh = compile_scene(
         builder,
-        # static scenes default to the fast wide-row kernel; animated
-        # ones need the refittable skip-link structure
-        traversal=args.traversal or ("skip" if controllers else "widerow"),
+        traversal=traversal,
         spatial_splits=args.spatial_splits,
         rebraid=args.rebraid if traversal.startswith("instanced") else 0.0)
     camera = common.make_camera_from_args(args)
@@ -76,6 +77,8 @@ def main(argv=None):
     n = args.width * args.height
     film = make_film(args.width, args.height)
     timer = common.PassTimer()
+    denoiser = common.maybe_denoiser(args)
+    denoised = None
     res = empty_reservoir(n)
     vis = empty_sample_visibility(n)
     gb = render_gbuffer(scene, bvh, camera, prev_camera,
@@ -99,13 +102,18 @@ def main(argv=None):
         prev_hit = gb.hit.reshape(n)
         prev_pos = gb.position.reshape(n, 3)
         prev_nrm = gb.normal.reshape(n, 3)
-        prev_camera = camera
         film = add_sample(film, color)
+        if denoiser is not None:
+            # reuse this frame's G-buffer for guides (no second render)
+            denoised = denoiser.step(scene, bvh, camera, f, film.beauty,
+                                     timer, gb=gb)
+        prev_camera = camera
         if args.stats and (f % 16 == 15):
             print(f"frame {f + 1}/{args.frames}: {timer.report()}",
                   file=sys.stderr)
 
-    common.save_outputs(args, np.asarray(film.beauty))
+    common.save_outputs(
+        args, np.asarray(denoised if denoised is not None else film.beauty))
     if args.stats:
         print("final:", timer.report(), file=sys.stderr)
 

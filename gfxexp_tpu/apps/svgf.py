@@ -33,11 +33,12 @@ def main(argv=None):
     builder, controllers = common.build_scene_from_dsl(args, args.scene_args)
     if not builder.instances:
         builder = common.default_demo_builder()
+    # static scenes default to the fast wide-row kernel; animated
+    # ones need the refittable skip-link structure
+    traversal = args.traversal or ("skip" if controllers else "widerow")
     scene, bvh = compile_scene(
         builder,
-        # static scenes default to the fast wide-row kernel; animated
-        # ones need the refittable skip-link structure
-        traversal=args.traversal or ("skip" if controllers else "widerow"),
+        traversal=traversal,
         spatial_splits=args.spatial_splits,
         rebraid=args.rebraid if traversal.startswith("instanced") else 0.0)
     camera = common.make_camera_from_args(args)
