@@ -44,6 +44,19 @@ def _basis(curve_type: str):
     raise ValueError(curve_type)
 
 
+def _span_stride(curve_type: str) -> int:
+    """Control-point step between consecutive spans. B-spline/Catmull-Rom
+    bases overlap their windows (stride 1, C^2/C^1 continuity built into
+    the basis); BEZIER spans own their control points — consecutive spans
+    share only the junction point, so the window must advance by the
+    degree (stride 3). A stride-1 Bezier walk would emit spans of
+    DIFFERENT, disconnected curves (each window is its own Bezier) and
+    any polyline chained across them gains a phantom chord between
+    windows — the r3 exact-vs-polyline parity failure was exactly this."""
+    return (_basis(curve_type).shape[0] - 1
+            if curve_type == CURVE_BEZIER else 1)
+
+
 def evaluate(curve_type: str, control_points, t, radii=None):
     """Position (and radius) at parameter t.
 
@@ -270,16 +283,18 @@ def build_curve_segments(control_points, radii, material: int = 0,
         ra, rb = rr[:-1], rr[1:]
     else:
         k = _basis(curve_type).shape[0]
+        stride = _span_stride(curve_type)
         pts, rads = [], []
-        n_spans = cp.shape[0] - k + 1
+        n_spans = (cp.shape[0] - k) // stride + 1
         assert n_spans >= 1, (cp.shape, curve_type)
         for s in range(n_spans):
+            c0 = s * stride
             ts = np.linspace(0.0, 1.0, n_subdiv + 1)
             if s > 0:
                 ts = ts[1:]  # span boundary shared with the previous span
-            pos, rad = evaluate(curve_type, jnp.asarray(cp[s:s + k])[None],
+            pos, rad = evaluate(curve_type, jnp.asarray(cp[c0:c0 + k])[None],
                                 jnp.asarray(ts)[:, None],
-                                radii=jnp.asarray(rr[s:s + k])[None])
+                                radii=jnp.asarray(rr[c0:c0 + k])[None])
             pts.append(np.asarray(pos[:, 0]))
             rads.append(np.asarray(rad[:, 0]))
         poly = np.concatenate(pts)
@@ -371,13 +386,15 @@ def build_curve_spans(control_points, radii, material: int = 0,
     rr = np.asarray(radii, np.float64)
     B = _basis(curve_type)
     k = B.shape[0]
-    n_spans = cp.shape[0] - k + 1
+    stride = _span_stride(curve_type)
+    n_spans = (cp.shape[0] - k) // stride + 1
     assert n_spans >= 1, (cp.shape, curve_type)
     coef = np.zeros((n_spans, 4, 3), np.float64)
     rcoef = np.zeros((n_spans, 4), np.float64)
     for s in range(n_spans):
-        coef[s, :k] = B @ cp[s:s + k]
-        rcoef[s, :k] = B @ rr[s:s + k]
+        c0 = s * stride
+        coef[s, :k] = B @ cp[c0:c0 + k]
+        rcoef[s, :k] = B @ rr[c0:c0 + k]
     # sampled bounds + sag widening
     m = 16
     u = np.linspace(0.0, 1.0, m + 1)
@@ -432,7 +449,14 @@ def intersect_swept_sphere_span(coef, rcoef, o, d, t_min, t_max,
     for i in range(n_seeds):
         u = jnp.full(o.shape[:1], (i + 0.5) / n_seeds)
         p, dp, _, r, _, _ = _span_eval(coef, rcoef, u)
-        t = jnp.sum((p - o) * d, axis=-1) / jnp.maximum(d2, 1e-20)
+        # Seed t at the ENTRY of the local sphere, not the projection of
+        # the axis point: projection makes q.d == 0 exactly, so df1/dt
+        # vanishes at the first Newton step and (for rays perpendicular
+        # to the axis, where d.dp == 0 too) the Jacobian is singular —
+        # the trivial cylinder case used to miss for exactly this reason.
+        # Backing off by r biases every seed toward the entry root.
+        t = (jnp.sum((p - o) * d, axis=-1) - r * jnp.sqrt(d2)) \
+            / jnp.maximum(d2, 1e-20)
         for _ in range(n_newton):
             p, dp, ddp, r, dr, ddr = _span_eval(coef, rcoef, u)
             q = o + t[:, None] * d - p

@@ -684,7 +684,7 @@ def build_prism_bvh(aabb_min, aabb_max, arity: int = 4):
 
 
 def iterate_candidates(aabb_min, aabb_max, o, d, t_min, t_max, k,
-                       state0, process_fn, get_best_t, max_extra: int = 32,
+                       state0, process_fn, get_best_t, max_extra: int = None,
                        prism_bvh=None):
     """Drive a narrow-phase `process_fn` over prism-AABB candidates in
     near-to-far order UNTIL no unprocessed AABB entry lies closer than the
@@ -703,8 +703,18 @@ def iterate_candidates(aabb_min, aabb_max, o, d, t_min, t_max, k,
 
     prism_bvh=(SkipBVH, perm) switches BOTH the prefetch and the rescans
     to the skip-walk box query (_next_candidate_bvh): no [rays, B]
-    intermediates, O(log B) per candidate — required past ~10k prisms."""
+    intermediates, O(log B) per candidate — required past ~10k prisms.
+
+    max_extra bounds the rescan rounds; None (default) = the candidate
+    count B, the true worst case — each round strictly advances the
+    lexicographic (near, id) cursor per ray, so B rounds always suffice
+    and the bound never truncates. (A fixed max_extra=32 default here
+    silently DROPPED the first hit for rays whose path clips >36 AABBs
+    before the true surface — long near-tangent rays along a curve tube;
+    found by the r4 exact-vs-polyline curve parity test.)"""
     n = o.shape[0]
+    if max_extra is None:
+        max_extra = int(aabb_min.shape[0])  # static even when traced
     if prism_bvh is not None:
         skipb, permb = prism_bvh
         k = 0  # every candidate comes from the walk
@@ -788,7 +798,8 @@ def _sample_height_at(geom, height, uv):
 def intersect_tfdm_v2(geom: TFDMGeometry, o, d, t_min=1e-4, t_max=1e30,
                       k_candidates: int = 4, max_steps: int = 128,
                       n_refine: int = 8, coarse_size: int = 16,
-                      mid_size: int = 64, fine_size: int = 256) -> TFDMHit:
+                      mid_size: int = 64, fine_size: int = 256,
+                      full_pyramid: bool = True) -> TFDMHit:
     """Mip-guided displaced-surface intersection, vectorized over rays.
 
     Per ray: candidates stream nearest-first UNTIL the next prism AABB is
@@ -809,10 +820,26 @@ def intersect_tfdm_v2(geom: TFDMGeometry, o, d, t_min=1e-4, t_max=1e30,
     s = geom.height.shape[0]
     mm = geom.minmax
     # pyramid levels consulted per step, coarse-to-fine (clamped to the
-    # map itself, deduplicated); level l of the pyramid has size s >> l
+    # map itself, deduplicated); level l of the pyramid has size s >> l.
+    # full_pyramid descends the ENTIRE chain coarse_size..s (reference:
+    # displacedSurface_generic walks every level of the minmax pyramid,
+    # tfdm_intersection_kernels.h:171-560) — on 1-4k maps the old 3-level
+    # probe never consulted granularity below fine_size, so locally-empty
+    # base texels were marched through at half-texel dt_fine steps. All
+    # levels are tested per step (predicated gathers measure cheaper on
+    # TPU than a per-ray level cursor under lax.cond) and empty space is
+    # skipped at the exit of the COARSEST empty level.
+    if full_pyramid:
+        wants = []
+        wsz = min(max(int(coarse_size), 1), s)
+        while wsz <= s:
+            wants.append(wsz)
+            wsz *= 2
+    else:
+        wants = (coarse_size, mid_size, fine_size)
     level_arrs = []
     seen_sizes = set()
-    for want in (coarse_size, mid_size, fine_size):
+    for want in wants:
         wsz = min(max(int(want), 1), s)
         lvl = max(s.bit_length() - wsz.bit_length(), 0)
         sz = s >> lvl
@@ -902,7 +929,6 @@ def intersect_tfdm_v2(geom: TFDMGeometry, o, d, t_min=1e-4, t_max=1e30,
         dt_fine = jnp.clip(
             (0.5 / s) / jnp.maximum(uv_rate, 1e-6),
             (far - near) * 1e-3 + 1e-7, jnp.maximum((far - near), 1e-6))
-        dt_min = jnp.maximum((far - near) / max_steps, 1e-7)
 
         state = (
             near,  # t
@@ -958,8 +984,17 @@ def intersect_tfdm_v2(geom: TFDMGeometry, o, d, t_min=1e-4, t_max=1e30,
                 tex_dt = jnp.minimum(
                     exit_axis(gx, duv[:, 0] * scale_g),
                     exit_axis(gy, duv[:, 1] * scale_g))
+                # progress floor: a FRACTION OF THIS LEVEL'S texel
+                # crossing, not the global (far-near)/max_steps — a
+                # prism-scaled floor can exceed several fine-level texels
+                # and jump an "empty" skip clean over a thin occupied
+                # wall (missed 2-texel ridges on a 1k map, r4)
+                floor_l = jnp.minimum(
+                    (0.05 / scale_g) / jnp.maximum(uv_rate, 1e-6),
+                    jnp.maximum((far - near), 1e-6))
                 t_exit = jnp.minimum(
-                    t + jnp.maximum(tex_dt, dt_min) + 1e-7, far)
+                    t + jnp.maximum(tex_dt, jnp.maximum(floor_l, 1e-7))
+                    + 1e-7, far)
                 h2 = h + dh_dt * (t_exit - t)
                 span_lo = jnp.minimum(h, h2) - 1e-4
                 span_hi = jnp.maximum(h, h2) + 1e-4

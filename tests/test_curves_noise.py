@@ -280,8 +280,12 @@ def test_exact_span_intersection_vs_dense_polyline():
         n = 200
         o = rng.uniform(-1, 5, size=(n, 3)).astype(np.float32)
         o[:, 2] = rng.uniform(2.0, 4.0, size=n)
-        tgt = rng.uniform(-0.5, 4.5, size=(n, 3)).astype(np.float32)
-        tgt[:, 2] = rng.uniform(-0.3, 0.5, size=n)
+        # aim at jittered points ON the curve (B-splines do not interpolate
+        # their control points, so a box-uniform target fan mostly misses
+        # the tube entirely and the comparison has no statistical power)
+        verts = np.asarray(poly.p0)
+        tgt = verts[rng.integers(0, len(verts), size=n)].astype(np.float32)
+        tgt += rng.normal(0.0, 0.25, size=(n, 3)).astype(np.float32)
         d = tgt - o
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
         oj, dj = jnp.asarray(o), jnp.asarray(d)

@@ -204,6 +204,52 @@ def test_tfdm_v2_step_reduction():
     assert int(np.asarray(h2.steps).max()) < 24, np.asarray(h2.steps)
 
 
+def test_tfdm_v2_full_pyramid_1k():
+    """Full-chain pyramid descent on a 1024^2 height map (reference walks
+    EVERY level, tfdm_intersection_kernels.h:171-560): same hits as the
+    3-level probe, with FEWER march steps — the 3-level probe never
+    consults granularity below fine_size=256, so it half-texel-steps
+    through base texels that are locally empty (VERDICT r3 missing #3)."""
+    from gfxexp_tpu.techniques.tfdm import intersect_tfdm_v2
+
+    s = 1024
+    height = np.zeros((s, s), np.float32)
+    # sparse thin ridges: 2-texel-wide walls every 256 texels (thin
+    # features at base-texel scale on a mostly-empty map)
+    height[:, 254:256] = 1.0
+    height[:, 510:512] = 1.0
+    height[:, 766:768] = 1.0
+    height[382:384, :] = 1.0
+    geom = _plane_geom(height, DisplacementParameters(h_scale=0.25))
+    rng = np.random.default_rng(11)
+    n = 64
+    o = np.stack([rng.uniform(0, 1, n), np.full(n, 0.9),
+                  rng.uniform(0, 1, n)], -1).astype(np.float32)
+    to = np.stack([rng.uniform(0.05, 0.95, n), np.zeros(n),
+                   rng.uniform(0.05, 0.95, n)], -1)
+    d = (to - o).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+
+    h_full = intersect_tfdm_v2(geom, oj, dj, full_pyramid=True,
+                               max_steps=256)
+    h_3lv = intersect_tfdm_v2(geom, oj, dj, full_pyramid=False,
+                              max_steps=256)
+    m_f = np.asarray(h_full.hit)
+    m_3 = np.asarray(h_3lv.hit)
+    # identical hit sets (full chain only refines WHERE space is skipped,
+    # never what is hit)
+    assert (m_f == m_3).mean() >= 0.97, (m_f.sum(), m_3.sum())
+    both = m_f & m_3
+    assert both.sum() >= 16, both.sum()
+    assert np.allclose(np.asarray(h_full.t)[both], np.asarray(h_3lv.t)[both],
+                       rtol=5e-3, atol=2e-3)
+    # and the full chain does strictly less marching on this sparse map
+    steps_f = int(np.asarray(h_full.steps).sum())
+    steps_3 = int(np.asarray(h_3lv.steps).sum())
+    assert steps_f < steps_3, (steps_f, steps_3)
+
+
 def test_tfdm_v2_dense_overlap_uncapped():
     """A grazing ray entering MANY prism AABBs before the true hit: the old
     top-k=4 candidate cap silently dropped the hit (ADVICE r2); the
@@ -376,8 +422,12 @@ def test_tfdm_v2_three_level_descent():
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     oj, dj = jnp.asarray(o), jnp.asarray(d)
 
-    h3 = intersect_tfdm_v2(geom, oj, dj, fine_size=256, max_steps=512)
-    h2 = intersect_tfdm_v2(geom, oj, dj, fine_size=64, max_steps=512)
+    # legacy capped-chain mode: fine_size only matters there (the default
+    # full_pyramid=True walks every level regardless)
+    h3 = intersect_tfdm_v2(geom, oj, dj, fine_size=256, max_steps=512,
+                           full_pyramid=False)
+    h2 = intersect_tfdm_v2(geom, oj, dj, fine_size=64, max_steps=512,
+                           full_pyramid=False)
     assert np.array_equal(np.asarray(h3.hit), np.asarray(h2.hit))
     m = np.asarray(h2.hit)
     if m.any():
