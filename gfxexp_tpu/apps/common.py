@@ -61,6 +61,11 @@ def make_arg_parser(name: str) -> argparse.ArgumentParser:
                         "closest rays in one traversal launch")
     p.add_argument("-texture-lod", action="store_true",
                    help="trilinear mip LOD for material textures")
+    p.add_argument("-denoise", action="store_true",
+                   help="denoise the accumulated beauty every frame with the "
+                        "SVGF stack (the TPU-native stand-in for the "
+                        "reference's OptiX temporal denoiser, "
+                        "path_tracing_main.cpp:1094-1141,1801-1829)")
     p.add_argument("-debug-switches", type=int, default=0,
                    help="8-bit runtime debug bitfield forwarded into kernels "
                         "(reference: PerFramePipelineLaunchParameters::"
@@ -332,6 +337,61 @@ def save_outputs(args, hdr_image: np.ndarray):
     if args.exr:
         save_exr(out + ".exr", hdr_image)
     print(f"wrote {out}.png" + (f" and {out}.exr" if args.exr else ""))
+
+
+class Denoiser:
+    """Per-frame SVGF denoiser for the non-SVGF apps (reference: every app
+    runs the OptiX temporal denoiser on its beauty buffer each frame —
+    path_tracing_main.cpp:1094-1141 setup, :1801-1829 invoke; here the SVGF
+    stack IS the denoiser, SURVEY §7 phase 2). Owns its temporal state and
+    the G-buffer needed for guides/demodulation; call step() once per frame
+    with the current accumulated HDR beauty [H, W, 3]."""
+
+    def __init__(self, width: int, height: int, taa: bool = False):
+        from gfxexp_tpu.techniques.svgf import SVGFConfig, make_svgf_state
+
+        # accumulated input is already temporally averaged: keep the à-trous
+        # spatial stages + reprojection-validated EMA, skip TAA by default
+        # (it double-smooths a converged accumulation)
+        self.cfg = SVGFConfig(enable_taa=taa)
+        self.state = make_svgf_state(width, height)
+        self.width, self.height = width, height
+        self.prev_camera = None
+
+    def step(self, scene, bvh, camera, frame: int, hdr, timer=None,
+             jitter: bool = False, gb=None):
+        """Returns the denoised [H, W, 3] image; updates temporal state."""
+        import jax.numpy as jnp
+
+        from gfxexp_tpu.render.gbuffer import render_gbuffer
+        from gfxexp_tpu.techniques.svgf import svgf_frame
+
+        prev_camera = self.prev_camera if self.prev_camera is not None else camera
+        if gb is None:
+            if timer is not None:
+                gb = timer.measure(
+                    "gbuffer", render_gbuffer, scene, bvh, camera,
+                    prev_camera, self.width, self.height,
+                    jnp.uint32(frame), jitter)
+            else:
+                gb = render_gbuffer(scene, bvh, camera, prev_camera,
+                                    self.width, self.height,
+                                    jnp.uint32(frame), jitter)
+        hdr = jnp.asarray(hdr).reshape(self.height, self.width, 3)
+        if timer is not None:
+            final, self.state = timer.measure(
+                "denoise", svgf_frame, self.state, gb, hdr, self.cfg)
+        else:
+            final, self.state = svgf_frame(self.state, gb, hdr, self.cfg)
+        self.prev_camera = camera
+        return final
+
+
+def maybe_denoiser(args):
+    """A Denoiser when -denoise was requested, else None."""
+    if not getattr(args, "denoise", False):
+        return None
+    return Denoiser(args.width, args.height)
 
 
 def pick_info(scene, gb, x: int, y: int) -> dict:

@@ -49,6 +49,8 @@ def main(argv=None):
 
     film = make_film(args.width, args.height)
     timer = common.PassTimer()
+    denoiser = common.maybe_denoiser(args)
+    denoised = None
     viewer = common.maybe_viewer(args)
     rig = common.maybe_camera_rig(args, viewer)
     debug_switches = args.debug_switches
@@ -81,6 +83,9 @@ def main(argv=None):
             args.width, args.height, jnp.uint32(f - sample_key), cfg,
             jnp.uint32(debug_switches))
         film = add_sample(film, radiance.reshape(args.height, args.width, 3))
+        if denoiser is not None:
+            denoised = denoiser.step(scene, bvh, camera, f, film.beauty,
+                                     timer, not args.no_jitter)
         if rig is not None and rig.pick_requests:
             # pick-under-cursor readback (reference:
             # path_tracing_main.cpp:1541-1567): one G-buffer render at the
@@ -95,13 +100,14 @@ def main(argv=None):
                 py = min(max(int(pv * args.height), 0), args.height - 1)
                 viewer.set_pick(common.pick_info(scene, gb, px, py))
         common.viewer_update(
-            viewer, film.beauty, f + 1,
+            viewer, denoised if denoised is not None else film.beauty, f + 1,
             brightness=rig.brightness if rig is not None else 1.0)
         if args.stats and (f % 16 == 15):
             print(f"frame {f + 1}/{args.frames}: {timer.report()}",
                   file=sys.stderr)
 
-    common.save_outputs(args, np.asarray(film.beauty))
+    common.save_outputs(
+        args, np.asarray(denoised if denoised is not None else film.beauty))
     if args.stats:
         print("final:", timer.report(), file=sys.stderr)
 

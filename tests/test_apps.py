@@ -74,6 +74,31 @@ def test_nrc_app(tmp_path):
     assert img.mean() > 0.005, img.mean()
 
 
+def test_path_tracing_app_denoise(tmp_path):
+    """-denoise applies the SVGF stack to the accumulated beauty each frame
+    (reference: every app denoises via the OptiX temporal denoiser,
+    path_tracing_main.cpp:1094-1141,1801-1829)."""
+    from gfxexp_tpu.apps.path_tracing import main
+
+    out = str(tmp_path / "pt_dn")
+    main(["-width", "16", "-height", "16", "-frames", "2", "-denoise",
+          "-cam-pos", "0", "0.5", "1.9", "-fov", "75", "-output", out])
+    img = _load(out)
+    assert img.mean() > 0.005, img.mean()
+
+
+def test_restir_di_app_denoise(tmp_path):
+    from gfxexp_tpu.apps.restir_di import main
+
+    out = str(tmp_path / "restir_dn")
+    main(["-width", "16", "-height", "16", "-frames", "2", "-denoise",
+          "-cam-pos", "0", "0.5", "1.9", "-fov", "75",
+          "-log2-num-candidates", "2", "-spatial-passes", "1",
+          "-output", out])
+    img = _load(out)
+    assert img.mean() > 0.005, img.mean()
+
+
 def test_svgf_app(tmp_path):
     from gfxexp_tpu.apps.svgf import main
 
