@@ -640,7 +640,7 @@ def nonlinear_ray_vs_micro_triangle(tc2, tc1, tc0, den2, den1, den0,
 
 def intersect_nrtdsm_exact(geom: NRTDSMGeometry, o, d, t_min=1e-4,
                            t_max=1e30, k_candidates: int = 4,
-                           n_h: int = 64) -> NRTDSMHit:
+                           n_h: int = 64, ordered: bool = True) -> NRTDSMHit:
     """EXACT TwoTriangle-local-type intersection: per candidate prism the
     texture-space curve q(h) = (Nu, Nv)(h)/D(h) (rational quadratic —
     compute_canonical_space_ray_coeffs/compute_texture_space_ray_coeffs)
@@ -719,29 +719,42 @@ def intersect_nrtdsm_exact(geom: NRTDSMGeometry, o, d, t_min=1e-4,
         h_span = geom.h_hi - geom.h_lo
         mm = geom.minmax
 
-        def seg_body(kk, st):
-            best_t, best_prim, best_uv, best_nrm, found_steps = st
-            h0 = jnp.full((n_rays,),
-                          geom.h_lo + h_span * (kk.astype(jnp.float32)
-                                                / n_h))
-            h1 = jnp.full((n_rays,),
-                          geom.h_lo + h_span * ((kk.astype(jnp.float32)
-                                                 + 1) / n_h))
+        def seg_geom(kk_f):
+            """h bounds + midpoint texel of segment kk_f ([R] float index);
+            level-0 entries already bound the bilinear patch (the
+            two-triangle surface lies within)."""
+            h0 = geom.h_lo + h_span * (kk_f / n_h)
+            h1 = geom.h_lo + h_span * ((kk_f + 1.0) / n_h)
             uvm = uv_at(0.5 * (h0 + h1))
-            # texel under the segment midpoint; its level-0 entry already
-            # bounds the bilinear patch (two-triangle surface lies within)
             gx = jnp.floor(uvm[:, 0] * s - 0.5).astype(jnp.int32) % s
             gy = jnp.floor(uvm[:, 1] * s - 0.5).astype(jnp.int32) % s
+            return h0, h1, gx, gy
+
+        def seg_occupied(h0, h1, gx, gy):
             mn = mm.levels[0, gy, gx, 0]
             mx = mm.levels[0, gy, gx, 1]
             dlo = p.h_offset + p.h_scale * (mn - p.h_bias)
             dhi = p.h_offset + p.h_scale * (mx - p.h_bias)
             tlo = jnp.minimum(dlo, dhi) - 1e-4
             thi = jnp.maximum(dlo, dhi) + 1e-4
-            occupied = active & (jnp.minimum(h0, h1) <= thi) \
+            return active & (jnp.minimum(h0, h1) <= thi) \
                 & (jnp.maximum(h0, h1) >= tlo)
-            found_steps = found_steps + occupied.astype(jnp.int32)
 
+        def seg_body(kk, st):
+            best_t, best_prim, best_uv, best_nrm, found_steps = st
+            kk_f = jnp.full((n_rays,), kk.astype(jnp.float32))
+            h0, h1, gx, gy = seg_geom(kk_f)
+            occupied = seg_occupied(h0, h1, gx, gy)
+            found_steps = found_steps + occupied.astype(jnp.int32)
+            cur = run_segment(h0, h1, gx, gy, occupied,
+                              (best_t, best_prim, best_uv, best_nrm))
+            best_t, best_prim, best_uv, best_nrm = cur
+            return (best_t, best_prim, best_uv, best_nrm, found_steps)
+
+        def run_segment(h0, h1, gx, gy, occupied, cur0):
+            """Exact two-triangle cubic solve for ONE h segment per ray
+            (the expensive part: cubic roots + 6 height-field gathers for
+            the normal)."""
             # the texel's four displaced corner heights (sample coords:
             # texel (gx, gy) spans samples [gx, gx+1] x [gy, gy+1])
             u0 = (gx.astype(jnp.float32) + 0.5) / s
@@ -807,17 +820,81 @@ def intersect_nrtdsm_exact(geom: NRTDSMGeometry, o, d, t_min=1e-4,
                 bn = jnp.where(ok[:, None], nrm, bn)
                 return bt, bp, buv, bn
 
-            cur = (best_t, best_prim, best_uv, best_nrm)
             # TwoTriangle split along the c00-c11 diagonal
-            cur = try_tri(c00, c10, c11, cur)
+            cur = try_tri(c00, c10, c11, cur0)
             cur = try_tri(c00, c11, c01, cur)
-            best_t, best_prim, best_uv, best_nrm = cur
-            return (best_t, best_prim, best_uv, best_nrm, found_steps)
+            return cur
 
-        best_t, best_prim, best_uv, best_nrm, steps_total = \
-            jax.lax.fori_loop(0, n_h, seg_body,
-                              (best_t, best_prim, best_uv, best_nrm,
-                               steps_total))
+        if not ordered:
+            # legacy flat march: the exact solve executes for EVERY h
+            # segment, predicated on occupancy
+            best_t, best_prim, best_uv, best_nrm, steps_total = \
+                jax.lax.fori_loop(0, n_h, seg_body,
+                                  (best_t, best_prim, best_uv, best_nrm,
+                                   steps_total))
+            return (best_t, best_prim, best_uv, best_nrm, steps_total)
+
+        # --- MipMapStack-ordered walk (reference:
+        # nrtdsm_intersection_kernels.h:1523-1630 nearest-first descent):
+        # phase 1 computes the CHEAP minmax gate for all n_h segments in
+        # one vectorized shot; phase 2 runs the expensive exact cubic
+        # solve ONLY at occupied segments via a next-set-bit while loop —
+        # per-candidate exact-solve executions drop from n_h to
+        # max-over-rays(#occupied), typically 1-4 on sparse maps.
+        iota_nh = jnp.arange(n_h, dtype=jnp.int32)
+        kk_all = iota_nh.astype(jnp.float32)  # [n_h]
+        h0_all = geom.h_lo + h_span * (kk_all / n_h)  # [n_h]
+        h1_all = geom.h_lo + h_span * ((kk_all + 1.0) / n_h)
+        hm_all = 0.5 * (h0_all + h1_all)
+        # uv at all segment midpoints: [R, n_h, 2] via broadcasting the
+        # rational coefficients over the segment axis
+        den = (d2c[:, None] * hm_all[None, :] ** 2
+               + d1c[:, None] * hm_all[None, :] + d0c[:, None])
+        den = jnp.where(jnp.abs(den) > 1e-12, den, 1.0)
+        uvm_all = jnp.stack(
+            [(tc2[:, None, i] * hm_all[None, :] ** 2
+              + tc1[:, None, i] * hm_all[None, :]
+              + tc0[:, None, i]) / den for i in (0, 1)], -1)
+        gx_all = jnp.floor(uvm_all[..., 0] * s - 0.5).astype(jnp.int32) % s
+        gy_all = jnp.floor(uvm_all[..., 1] * s - 0.5).astype(jnp.int32) % s
+        mn_all = mm.levels[0, gy_all, gx_all, 0]
+        mx_all = mm.levels[0, gy_all, gx_all, 1]
+        dlo_a = p.h_offset + p.h_scale * (mn_all - p.h_bias)
+        dhi_a = p.h_offset + p.h_scale * (mx_all - p.h_bias)
+        tlo_a = jnp.minimum(dlo_a, dhi_a) - 1e-4
+        thi_a = jnp.maximum(dlo_a, dhi_a) + 1e-4
+        span_lo = jnp.minimum(h0_all, h1_all)[None, :]
+        span_hi = jnp.maximum(h0_all, h1_all)[None, :]
+        occ_mask = (active[:, None] & (span_lo <= thi_a)
+                    & (span_hi >= tlo_a))  # [R, n_h]
+
+        def next_occ(cursor):
+            cand = occ_mask & (iota_nh[None, :] >= cursor[:, None])
+            has = jnp.any(cand, -1)
+            nxt = jnp.argmax(cand, -1).astype(jnp.int32)
+            return jnp.where(has, nxt, n_h)
+
+        def o_cond(st):
+            return jnp.any(next_occ(st[5]) < n_h)
+
+        def o_body(st):
+            best_t, best_prim, best_uv, best_nrm, steps, cursor = st
+            nxt = next_occ(cursor)
+            live = nxt < n_h
+            kk_f = jnp.minimum(nxt, n_h - 1).astype(jnp.float32)
+            h0, h1, gx, gy = seg_geom(kk_f)
+            cur = run_segment(h0, h1, gx, gy, live,
+                              (best_t, best_prim, best_uv, best_nrm))
+            best_t, best_prim, best_uv, best_nrm = cur
+            steps = steps + live.astype(jnp.int32)
+            cursor = jnp.where(live, nxt + 1, cursor)
+            return (best_t, best_prim, best_uv, best_nrm, steps, cursor)
+
+        best_t, best_prim, best_uv, best_nrm, steps_total, _ = \
+            jax.lax.while_loop(
+                o_cond, o_body,
+                (best_t, best_prim, best_uv, best_nrm, steps_total,
+                 jnp.zeros((n_rays,), jnp.int32)))
         return (best_t, best_prim, best_uv, best_nrm, steps_total)
 
     best_t, best_prim, best_uv, best_nrm, steps_total = iterate_candidates(
