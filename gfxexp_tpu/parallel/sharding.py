@@ -97,6 +97,114 @@ def nrc_train_step_dp(mesh: Mesh, state, query, target, mask, nrc_cfg):
     return _nrc_dp_step_fn(mesh, nrc_cfg)(state, query, target, mask)
 
 
+def svgf_frame_sharded(mesh: Mesh, state, gb, lighting, cfg=None):
+    """One SVGF frame with the à-trous stencil pyramid SHARDED over image
+    rows and explicit halo exchange via jax.lax.ppermute (SURVEY §5
+    distributed backend; the per-stage halo is radius*step+1 rows of
+    color/variance/guides traded with the two row-neighbors over ICI).
+
+    The temporal passes (reprojection gather, variance estimation, TAA)
+    stay replicated — they are one cheap gather/stencil each, while the
+    5-stage filter pyramid is the HBM-bandwidth hot loop worth sharding.
+    Bit-parity with techniques.svgf.svgf_frame is tested on the 8-device
+    CPU mesh (tests/test_parallel.py)."""
+    from gfxexp_tpu.techniques.svgf import (
+        SVGFConfig, SVGFState, _depth_gradients,
+        demodulate_albedo, estimate_variance, taa, temporal_accumulate)
+
+    if cfg is None:
+        cfg = SVGFConfig()
+    hit = gb.hit
+    dem = demodulate_albedo(lighting, gb.albedo)
+    noisy, moments, count = temporal_accumulate(state, gb, dem, cfg)
+
+    if cfg.enable_svgf:
+        variance = estimate_variance(moments, count, gb.depth, gb.normal,
+                                     hit, cfg)
+        dzdx, dzdy = _depth_gradients(jnp.where(hit, gb.depth, jnp.inf))
+        height, width = gb.depth.shape
+        fn = _atrous_sharded_fn(mesh, height, width, cfg)
+        filtered, first_filtered = fn(noisy, variance, gb.depth, gb.normal,
+                                      hit, dzdx, dzdy)
+        feedback = first_filtered if cfg.feedback_1st_filtered else noisy
+    else:
+        filtered = noisy
+        feedback = noisy
+
+    final = filtered * gb.albedo
+    final = jnp.where(hit[..., None], final, lighting)
+    if cfg.enable_taa:
+        final = taa(final, state.taa_history, gb.motion, state.first_frame,
+                    cfg)
+
+    new_state = SVGFState(
+        prev_noisy=jnp.where(hit[..., None], feedback, 0.0),
+        moments=moments,
+        sample_count=jnp.where(hit, count, 0.0),
+        prev_position=gb.position,
+        prev_normal=gb.normal,
+        prev_unit=gb.unit,
+        prev_material=gb.material,
+        taa_history=final,
+        first_frame=jnp.asarray(False),
+    )
+    return final, new_state
+
+
+@functools.lru_cache(maxsize=16)
+def _atrous_sharded_fn(mesh: Mesh, height: int, width: int, cfg):
+    from gfxexp_tpu.techniques.svgf import (
+        ATROUS_GAUSS5, _STEP_WIDTHS, _atrous_stage_core)
+
+    n_dev = mesh.devices.size
+    assert height % n_dev == 0, (height, n_dev)
+    rows_per = height // n_dev
+    radius = 2 if cfg.atrous_kernel == ATROUS_GAUSS5 else 1
+    steps = _STEP_WIDTHS[: cfg.num_filter_stages]
+    max_halo = max(radius * s + 1 for s in steps) if steps else 0
+    # one ppermute hop reaches only the adjacent row block; deeper filter
+    # stages than the shard height would need multi-hop halos
+    assert max_halo <= rows_per, (
+        f"à-trous halo {max_halo} rows exceeds the {rows_per}-row shard; "
+        f"use a taller image, fewer devices, or fewer filter stages")
+
+    fwd = [(i, i + 1) for i in range(n_dev - 1)]
+    bwd = [(i, i - 1) for i in range(1, n_dev)]
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                  P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS)),
+        check_vma=False,
+    )
+    def fn(color, variance, depth, normal, hit, dzdx, dzdy):
+        def pad(x, h):
+            # rows ABOVE my block = previous device's bottom rows; rows
+            # BELOW = next device's top rows. ppermute zero-fills at the
+            # mesh edges, which matches _shift's zero fill at the image
+            # border because every à-trous tap is gated by nb_hit (zeros
+            # -> False -> weight 0)
+            top = jax.lax.ppermute(x[-h:], AXIS, fwd)
+            bot = jax.lax.ppermute(x[:h], AXIS, bwd)
+            return jnp.concatenate([top, x, bot], axis=0)
+
+        first_filtered = color
+        for si, step in enumerate(steps):
+            h = radius * step + 1
+            c2, v2 = _atrous_stage_core(
+                pad(color, h), pad(variance, h), pad(depth, h),
+                pad(normal, h), pad(hit, h), pad(dzdx, h), pad(dzdy, h),
+                step, cfg)
+            color, variance = c2[h:-h], v2[h:-h]
+            if si == 0:
+                first_filtered = color
+        return color, first_filtered
+
+    return jax.jit(fn)  # jit required: eager shard_map dispatches per-primitive
+
+
 @functools.lru_cache(maxsize=8)
 def _nrc_dp_step_fn(mesh: Mesh, nrc_cfg):
     import optax

@@ -292,8 +292,20 @@ _STEP_WIDTHS = [1, 2, 4, 8, 16]
 def atrous_stage(color, variance, depth, normal, hit, step: int, cfg: SVGFConfig):
     """One box-3x3 a-trous stage with edge-stopping weights. Returns
     (filtered color, filtered variance)."""
-    lum = luminance(color)
     dzdx, dzdy = _depth_gradients(jnp.where(hit, depth, jnp.inf))
+    return _atrous_stage_core(color, variance, depth, normal, hit,
+                              dzdx, dzdy, step, cfg)
+
+
+def _atrous_stage_core(color, variance, depth, normal, hit, dzdx, dzdy,
+                       step: int, cfg: SVGFConfig):
+    """atrous_stage body with the depth gradients passed in — every tap is
+    a static _shift + pointwise math, so running it on a halo-padded row
+    block and cropping the halo reproduces the full-image result exactly
+    (the property the sharded path relies on; gradients must be computed
+    GLOBALLY because their one-sided direction flips at the image center
+    row, which a row shard cannot see)."""
+    lum = luminance(color)
 
     # 3x3 Gaussian prefilter on variance -> local stddev (reference :288-305)
     g = [0.25, 0.5, 0.25]
