@@ -52,7 +52,7 @@ def build_bench_scene(big: bool = False, fmt: str = None, arity: int = 4,
     tag = "city_" if city else ("big_" if big else "")
     rb = f"_rb{rebraid:g}" if rebraid else ""
     cache_file = os.path.join(
-        _CACHE, f"bench_scene_{tag}{fmt}_a{arity}{rb}_v10.pkl")
+        _CACHE, f"bench_scene_{tag}{fmt}_a{arity}{rb}_v11.pkl")
     if os.path.exists(cache_file):
         try:
             with open(cache_file, "rb") as f:
@@ -152,8 +152,15 @@ def main():
     from gfxexp_tpu.render.camera import make_camera
     from gfxexp_tpu.render.pathtrace import PTConfig, render_sample
 
+    global WIDTH, HEIGHT
     big = "big" in sys.argv[1:]
     city = "city" in sys.argv[1:]
+    hd = "1080p" in sys.argv[1:]
+    if hd:
+        # the BASELINE.json target metric is Mrays/s/chip at 1080p —
+        # rendered through render_tile so per-lane live state (traversal
+        # stacks) stays bounded at the 512^2 working-set size
+        WIDTH, HEIGHT = 1920, 1080
     fmt = None
     arity = 4
     rebraid = 0.0
@@ -170,7 +177,12 @@ def main():
     scene = jax.tree_util.tree_map(jnp.asarray, scene)
     bvh = jax.tree_util.tree_map(jnp.asarray, bvh)
     if "tlas" in sys.argv[1:]:
-        bvh = bvh.replace(use_tlas=True)
+        if hasattr(bvh, "use_tlas"):
+            bvh = bvh.replace(use_tlas=True)
+        else:
+            sys.stderr.write(
+                "bench: 'tlas' ignored — non-instanced structure "
+                "(add 'big' or 'city')\n")
     build_s = time.time() - t0
     sys.stderr.write(f"bench: scene built in {build_s:.1f}s; compiling...\n")
     sys.stderr.flush()
@@ -193,18 +205,57 @@ def main():
     cfg = PTConfig(max_path_length=MAX_PATH_LENGTH, count_rays=True,
                    fuse_shadow_rays="fused" in sys.argv[1:])
 
-    t0 = time.time()
-    img, nrays = render_sample(scene, bvh, camera, WIDTH, HEIGHT, jnp.uint32(0), cfg)
-    np.asarray(img)
-    compile_s = time.time() - t0
-    sys.stderr.write(f"bench: compiled+first sample in {compile_s:.1f}s; warming...\n")
-    sys.stderr.flush()
-    for s in range(1, WARMUP_SAMPLES):
-        img, nrays = render_sample(scene, bvh, camera, WIDTH, HEIGHT, jnp.uint32(s), cfg)
-    np.asarray(img)
+    compile_s = 0.0
+    if not hd:
+        t0 = time.time()
+        img, nrays = render_sample(scene, bvh, camera, WIDTH, HEIGHT, jnp.uint32(0), cfg)
+        np.asarray(img)
+        compile_s = time.time() - t0
+        sys.stderr.write(f"bench: compiled+first sample in {compile_s:.1f}s; warming...\n")
+        sys.stderr.flush()
+        for s in range(1, WARMUP_SAMPLES):
+            img, nrays = render_sample(scene, bvh, camera, WIDTH, HEIGHT, jnp.uint32(s), cfg)
+        np.asarray(img)
 
-    batched = "batched" in sys.argv[1:]
-    if batched:
+    if hd:
+        # tiled 1080p frame: 8 tiles of 259200 lanes (one compile serves
+        # every tile; lane_start is traced)
+        from gfxexp_tpu.render.pathtrace import render_tile
+
+        n = WIDTH * HEIGHT
+        n_tiles = 8
+        lane_count = n // n_tiles
+        assert lane_count * n_tiles == n
+
+        def frame(s):
+            imgs, rays = [], jnp.zeros((), jnp.float32)
+            for ti in range(n_tiles):
+                img_t, nr = render_tile(
+                    scene, bvh, camera, WIDTH, HEIGHT,
+                    jnp.uint32(ti * lane_count), lane_count,
+                    jnp.uint32(s), cfg)
+                imgs.append(img_t)
+                rays = rays + nr
+            return jnp.concatenate(imgs, axis=0), rays
+
+        acc, _ = frame(0)
+        np.asarray(acc)  # compile fence
+        sys.stderr.write("bench: 1080p compiled; warming...\n")
+        for s in range(1, WARMUP_SAMPLES):
+            acc, _ = frame(s)
+        np.asarray(acc)
+        acc = jnp.zeros((n, 3), jnp.float32)
+        total_rays_dev = jnp.zeros((), jnp.float32)
+        t0 = time.time()
+        for s in range(TIMED_SAMPLES):
+            img, nrays = frame(100 + s)
+            acc = acc + img
+            total_rays_dev = total_rays_dev + nrays
+        acc_host = np.asarray(acc)
+        total_rays = float(np.asarray(total_rays_dev))
+        elapsed = time.time() - t0
+        img = jnp.asarray(acc_host / TIMED_SAMPLES)
+    elif "batched" in sys.argv[1:]:
         # one jitted program accumulating all samples (render_accumulate):
         # amortizes per-program dispatch through the tunnel
         from gfxexp_tpu.render.pathtrace import render_accumulate
@@ -258,6 +309,7 @@ def main():
     print(json.dumps({
         "metric": ("pt_ray_throughput_city" if city
                    else "pt_ray_throughput_big" if big
+                   else "pt_ray_throughput_1080p" if hd
                    else "pt_ray_throughput"),
         "value": round(mrays, 2),
         "unit": "Mrays/s",

@@ -843,8 +843,16 @@ class InstancedAccel:
     use_tlas: bool = struct.field(pytree_node=False, default=False)
 
     @property
-    def num_instances(self):
+    def num_entries(self):
+        """TLAS entry count. With rebraiding an instance contributes one
+        entry per opened subtree, so this EXCEEDS the instance count."""
         return self.blas_ids.shape[0]
+
+    # NOTE: kept for back-compat; with rebraid>0 this is the TLAS ENTRY
+    # count, not the true instance count (entries > instances). The >1
+    # guards in dispatch only care about "more than one entry", which is
+    # the correct semantics there.
+    num_instances = num_entries
 
 
 def _row_children(tab, row, arity):

@@ -12,6 +12,7 @@ run() {
   echo "rc=$? $(tail -1 "$OUT/$name.log")"
 }
 run headline      python bench.py
+run headline_1080p python bench.py 1080p
 run headline_fuse python bench.py fused
 run headline_qrow python bench.py qrow
 run headline_a8   python bench.py a8
