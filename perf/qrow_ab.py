@@ -41,12 +41,21 @@ from gfxexp_tpu.render.pathtrace import PTConfig, render_sample  # noqa: E402
 
 
 def timeit(name, fn, *args, reps=8, warm=6):
+    """args must be DEVICE arrays (host numpy pays a ~120 ms tunnel copy
+    per call); reps are chained through a zero derived from the previous
+    output so the runtime cannot overlap them."""
+    args = tuple(jnp.asarray(a) if isinstance(a, np.ndarray) else a
+                 for a in args)
+    out = None
     for _ in range(warm):
         out = fn(*args)
     np.asarray(jax.tree_util.tree_leaves(out)[0])
     t0 = time.time()
     for _ in range(reps):
-        out = fn(*args)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        dep = (leaf.astype(jnp.float32).ravel()[:1] * 0.0)[0]
+        a0 = args[0] + dep.astype(args[0].dtype)
+        out = fn(a0, *args[1:])
     np.asarray(jax.tree_util.tree_leaves(out)[0])
     ms = (time.time() - t0) / reps * 1e3
     print(f"{name:16s} {ms:8.2f} ms", flush=True)
@@ -139,8 +148,8 @@ def main():
     def full_q(s):
         return render_sample(scene_q, qb_j, cam, W, H, jnp.uint32(s), cfg)[0]
 
-    mrw = timeit("widerow render", full_w, 3)
-    mrq = timeit("qrow    render", full_q, 3)
+    mrw = timeit("widerow render", full_w, jnp.uint32(3))
+    mrq = timeit("qrow    render", full_q, jnp.uint32(3))
     print(f"summary: primary {m1w:.1f}/{m1q:.1f}  bounce {mbw:.1f}/{mbq:.1f}"
           f"  any {msw:.1f}/{msq:.1f}  render {mrw:.1f}/{mrq:.1f} ms")
 
