@@ -373,11 +373,13 @@ def _intersect_closest_sorted(bvh, tris, ray_o, ray_d, alive):
 
 
 def _next_event_setup(scene, sp: SurfacePoint, v_out_local, frame, params,
-                      rs, cfg: PTConfig, alive=None, light_packed=None):
+                      rs, cfg: PTConfig, alive=None, light_packed=None,
+                      env_off=None):
     """Everything of NEE except the occlusion trace: light sample, MIS
     weight, unshadowed contribution, and the shadow ray. Returns
     (contrib_unshadowed [R, 3], shadow_dir [R, 3], shadow_tmax [R]) —
-    shadow_tmax < 0 on non-contributing lanes (zero traversal work)."""
+    shadow_tmax < 0 on non-contributing lanes (zero traversal work).
+    `env_off` (traced bool) zeroes env-light samples (debug switch bit 3)."""
     t, b, n = frame
     u_light = rs.next()
     u0, u1 = rs.next2()
@@ -416,6 +418,8 @@ def _next_event_setup(scene, sp: SurfacePoint, v_out_local, frame, params,
     potential = (ls.pdf > 0.0) & (lp_cos > 0.0)
     if alive is not None:
         potential = potential & alive
+    if env_off is not None:
+        potential = potential & ~(env_off & ls.at_infinity)
     # shadow ray (reference traces with tmax = 0.9999 dist; env dist = 1e10);
     # tmax < 0 on non-contributing lanes = zero traversal work
     shadow_tmax = jnp.where(ls.at_infinity, 1e10, dist * 0.9999)
@@ -431,7 +435,7 @@ def _next_event_setup(scene, sp: SurfacePoint, v_out_local, frame, params,
 
 
 def _next_event(scene, bvh, sp: SurfacePoint, v_out_local, frame, params, rs,
-                cfg: PTConfig, alive=None, light_packed=None):
+                cfg: PTConfig, alive=None, light_packed=None, env_off=None):
     """NEE with MIS (reference: performNextEventEstimation,
     optix_pathtracing_kernels.cu:18-48 + performDirectLighting,
     path_tracing_shared.h:419-457). Returns [R, 3] contribution. `alive`
@@ -439,7 +443,7 @@ def _next_event(scene, bvh, sp: SurfacePoint, v_out_local, frame, params, rs,
     traverser nothing (on late bounces most lanes are dead)."""
     contrib, shadow_dir, shadow_tmax = _next_event_setup(
         scene, sp, v_out_local, frame, params, rs, cfg, alive,
-        light_packed)
+        light_packed, env_off=env_off)
     occluded = intersect_any(
         bvh, scene.triangles, sp.position, shadow_dir, t_min=0.0, t_max=shadow_tmax
     )
@@ -480,7 +484,12 @@ def render_lanes(
     reference's 8 per-frame debug switches (path_tracing_shared.h:173-180):
     runtime toggles that do not recompile. Assignments: bit 0 = disable
     explicit light sampling (NEE), bit 1 = disable implicit/env emitter
-    contributions past the primary hit, bit 2 = disable Russian roulette."""
+    contributions past the primary hit, bit 2 = disable Russian roulette,
+    bit 3 = disable the environment light (implicit AND NEE samples,
+    reference enableEnvLight), bit 4 = disable bump/normal mapping
+    (reference enableBumpMapping), bit 5 = disable pixel jitter (reference
+    enableJittering), bit 6 = white-albedo override (0.8 diffuse — furnace
+    debugging), bit 7 = shade with geometric normals."""
     n = lane_count
     lane = jnp.asarray(lane_start, jnp.uint32) + jnp.arange(n, dtype=jnp.uint32)
     # lanes are block-major over the screen (16x16 blocks) so consecutive
@@ -490,9 +499,30 @@ def render_lanes(
     sample_idx = jnp.asarray(sample_idx, jnp.uint32)
     rays_traced = jnp.zeros((), jnp.float32)
 
+    # 8 generic traced debug switches (reference: the debugSwitches uint32 in
+    # PerFramePipelineLaunchParameters, path_tracing_shared.h:173-180 — one
+    # bitfield forwarded to kernels every frame, toggled without recompile):
+    #   bit 0  disable NEE             bit 4  disable bump/normal mapping
+    #   bit 1  disable implicit hits   bit 5  disable pixel jitter
+    #   bit 2  disable Russian roulette bit 6 white-albedo override (furnace)
+    #   bit 3  disable env light        bit 7 shade with geometric normals
+    if debug_switches is None:
+        debug_switches = jnp.zeros((), jnp.uint32)
+    sw = jnp.asarray(debug_switches, jnp.uint32)
+    dbg_no_nee = (sw & 1) != 0
+    dbg_no_implicit = (sw & 2) != 0
+    dbg_no_rr = (sw & 4) != 0
+    dbg_no_env = (sw & 8) != 0
+    dbg_no_bump = (sw & 16) != 0
+    dbg_no_jitter = (sw & 32) != 0
+    dbg_white_albedo = (sw & 64) != 0
+    dbg_geom_normal = (sw & 128) != 0
+
     rs_cam = SampleStream(pixel, sample_idx, stream=0xFFFF)
     if cfg.enable_jitter:
         jx, jy = rs_cam.next2()
+        jx = jnp.where(dbg_no_jitter, 0.5, jx)
+        jy = jnp.where(dbg_no_jitter, 0.5, jy)
     else:
         jx = jnp.full((n,), 0.5, jnp.float32)
         jy = jnp.full((n,), 0.5, jnp.float32)
@@ -502,13 +532,6 @@ def render_lanes(
     throughput = jnp.ones((n, 3), jnp.float32)
     alive = jnp.ones((n,), bool)
     prev_pdf = jnp.zeros((n,), jnp.float32)  # solid-angle pdf of prev bounce
-
-    if debug_switches is None:
-        debug_switches = jnp.zeros((), jnp.uint32)
-    sw = jnp.asarray(debug_switches, jnp.uint32)
-    dbg_no_nee = (sw & 1) != 0
-    dbg_no_implicit = (sw & 2) != 0
-    dbg_no_rr = (sw & 4) != 0
 
     use_env = cfg.enable_env and scene.env is not None
     p_env_sel, p_surf_sel = light_selection_probs(scene)
@@ -597,6 +620,7 @@ def render_lanes(
                 light_p = p_env_sel * env_pdf(scene.env, ray_d)
                 env_mis = prev_pdf**2 / jnp.maximum(prev_pdf**2 + light_p**2, 1e-30)
             env_gate = miss if cfg.use_implicit_light_sampling or first else jnp.zeros_like(miss)
+            env_gate = env_gate & ~dbg_no_env
             if not first:
                 env_gate = env_gate & ~dbg_no_implicit
             contribution = contribution + jnp.where(
@@ -652,7 +676,8 @@ def render_lanes(
                                 jnp.where((kind == 1)[:, None], n2, n3))
             bit = jnp.cross(nrm, sp.tangent)
             bumped = normalize(apply_bump(nrm, sp.tangent, bit, local_n))
-            nrm = jnp.where((ntid >= 0)[:, None], bumped, nrm)
+            nrm = jnp.where(dbg_no_bump | (ntid < 0)[:, None], nrm, bumped)
+        nrm = jnp.where(dbg_geom_normal, gn_signed, nrm)
         t, b = make_frame(nrm)
         v_out_local = to_local(t, b, nrm, v_out)
 
@@ -723,6 +748,8 @@ def render_lanes(
             # smoothness *= 0.5 <=> roughness -> 1 - 0.5*(1 - roughness)
             params = params.replace(
                 roughness=1.0 - 0.5 * (1.0 - params.roughness))
+        params = params.replace(diffuse=jnp.where(
+            dbg_white_albedo, 0.8, params.diffuse))
         sp_off = sp.replace(position=pos_off)
         if cfg.use_explicit_light_sampling:
             if cfg.count_rays:
@@ -732,7 +759,8 @@ def render_lanes(
                 # throughput + gates fold into the pending contribution now
                 nee_c, sdir, stmax = _next_event_setup(
                     scene, sp_off, v_out_local, (t, b, nrm), params, rs,
-                    cfg, alive, light_packed=light_packed)
+                    cfg, alive, light_packed=light_packed,
+                    env_off=dbg_no_env)
                 gate = (alive & ~dbg_no_nee)[..., None]
                 pending_next = (
                     jnp.where(gate, throughput * nee_c, 0.0),
@@ -749,7 +777,8 @@ def render_lanes(
             else:
                 nee = _next_event(scene, bvh, sp_off, v_out_local, (t, b, nrm),
                                   params, rs, cfg, alive,
-                                  light_packed=light_packed)
+                                  light_packed=light_packed,
+                                  env_off=dbg_no_env)
                 contribution = contribution + jnp.where(
                     (alive & ~dbg_no_nee)[..., None], throughput * nee, 0.0
                 )
@@ -847,6 +876,44 @@ def accumulate(accum, new_sample, num_accum_frames):
     206-214)."""
     w = 1.0 / (1.0 + num_accum_frames)
     return (1.0 - w) * accum + w * new_sample
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "lane_count", "n_samples", "cfg"))
+def render_tile_accumulate(
+    scene: SceneData,
+    bvh: BVH,
+    camera: Camera,
+    width: int,
+    height: int,
+    lane_start,
+    lane_count: int,
+    start_idx,
+    n_samples: int,
+    cfg: PTConfig = PTConfig(),
+):
+    """render_tile x render_accumulate: n_samples progressive samples of one
+    lane tile inside ONE jitted program (big resolutions keep per-lane live
+    state bounded by the tile while still amortizing per-program dispatch).
+    Returns (summed radiance [lane_count, 3] in LANE order, total rays when
+    cfg.count_rays)."""
+    start_idx = jnp.asarray(start_idx, jnp.uint32)
+
+    def body(s, carry):
+        acc, rays = carry
+        out = render_lanes(scene, bvh, camera, width, height, lane_start,
+                           lane_count, start_idx + s.astype(jnp.uint32), cfg)
+        if cfg.count_rays:
+            img, nr = out
+            rays = rays + nr
+        else:
+            img = out
+        return acc + img, rays
+
+    return jax.lax.fori_loop(
+        0, n_samples, body,
+        (jnp.zeros((lane_count, 3), jnp.float32), jnp.zeros((), jnp.float32)))
 
 
 @functools.partial(

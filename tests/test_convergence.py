@@ -181,6 +181,58 @@ def test_svgf_converges_to_pt(conv_scene):
     assert abs(got.mean() - ref.mean()) / ref.mean() < 0.08
 
 
+def test_nrc_converges_to_pt(conv_scene):
+    """The cache-terminated NRC render must converge to the plain PT image
+    as online training proceeds — the reference's whole premise (the NRC
+    app accumulates cache-terminated frames while the cache trains,
+    neural_radiance_caching_main.cpp:2262-2387). Image-level: per-pixel
+    RMSE against converged PT, not just calibration of the cache field."""
+    import jax
+
+    from gfxexp_tpu.techniques.nrc import NRCConfig, init_nrc, train_step
+    from gfxexp_tpu.techniques.nrc.cache import (
+        NRCIntegratorConfig, render_sample_nrc, scene_aabb)
+
+    scene, bvh, cam = conv_scene
+    frames = 80
+    warmup = 30  # train-only frames before accumulation starts
+    pt_cfg = PTConfig(max_path_length=4)
+    ref, err_ref = _pt_converged(scene, bvh, cam, pt_cfg, frames)
+
+    nrc_cfg = NRCConfig()
+    icfg = NRCIntegratorConfig(max_path_length=4, train_stride=4,
+                               enable_jitter=True)
+    state = init_nrc(jax.random.PRNGKey(0), nrc_cfg)
+    lo, hi = scene_aabb(scene)
+
+    acc = np.zeros((N, 3), np.float64)
+    acc2 = np.zeros((N, 3), np.float64)
+    kept = 0
+    for f in range(frames):
+        radiance, tq, tt, tm = render_sample_nrc(
+            scene, bvh, cam, state["ema"], lo, hi, W, H, jnp.uint32(f),
+            icfg, nrc_cfg)
+        for _ in range(2):
+            state, _loss = train_step(state, tq, tt, tm, nrc_cfg)
+        if f >= warmup:
+            c = np.asarray(radiance, np.float64).reshape(N, 3)
+            acc += c
+            acc2 += c * c
+            kept += 1
+    got = acc / kept
+    var = np.maximum(acc2 / kept - got**2, 0.0)
+    err_got = np.sqrt(var / kept)
+
+    # the cache is biased early in training; the converged accumulation
+    # must still track PT closely (loose image-level bound, as for SVGF)
+    noise = np.sqrt((err_ref**2 + err_got**2).mean())
+    rmse = _rmse(got, ref)
+    bound = max(4.0 * noise, 0.15 * float(ref.mean()))
+    assert rmse < bound, (rmse, bound, ref.mean(), got.mean())
+    assert abs(got.mean() - ref.mean()) / ref.mean() < 0.10, (
+        got.mean(), ref.mean())
+
+
 def test_instanced_converges_to_flattened():
     """Two-level (BLAS/instance) rendering of a multi-instance scene must
     converge to the SAME image as the flattened single-level compile of

@@ -284,3 +284,119 @@ def test_render_accumulate_matches_loop():
                                              jnp.uint32(7), 4, cfg)
     assert np.allclose(np.asarray(mean_batch), mean_loop, atol=1e-5)
     assert abs(float(nr_batch) - nr_total) < 1.0
+
+
+def test_render_tile_accumulate_matches_loop():
+    """The tiled multi-sample accumulator (bench.py's 1080p path) must equal
+    the sum of the equivalent per-sample render_tile calls, tile by tile."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from scenes import box_scene
+
+    from gfxexp_tpu.render.pathtrace import render_tile, render_tile_accumulate
+    from gfxexp_tpu.scene.compile import compile_scene
+
+    scene, bvh = compile_scene(box_scene())
+    cam = make_camera([0, 0.5, 1.9], fov_y=np.deg2rad(75), aspect=1.0,
+                      target=[0, 0.3, -1.0])
+    cfg = PTConfig(max_path_length=3, count_rays=True)
+    W = H = 24
+    lane_count = (W * H) // 2
+    for tile in range(2):
+        start = jnp.uint32(tile * lane_count)
+        acc = np.zeros((lane_count, 3), np.float64)
+        nr_total = 0.0
+        for s in range(3):
+            img, nr = render_tile(scene, bvh, cam, W, H, start, lane_count,
+                                  jnp.uint32(5 + s), cfg)
+            acc += np.asarray(img)
+            nr_total += float(nr)
+        img_b, nr_b = render_tile_accumulate(scene, bvh, cam, W, H, start,
+                                             lane_count, jnp.uint32(5), 3,
+                                             cfg)
+        assert np.allclose(np.asarray(img_b), acc, atol=1e-5)
+        assert abs(float(nr_b) - nr_total) < 1.0
+
+
+def test_debug_switches_full_bitfield():
+    """All 8 traced debug switches (reference debugSwitches parity,
+    path_tracing_shared.h:173-180) change the image in the expected
+    DIRECTION without recompiling — one jitted program, 8 toggles."""
+    from scenes import furnace_scene
+
+    from gfxexp_tpu.scene.compile import compile_scene
+
+    scene, bvh = compile_scene(furnace_scene(albedo=0.5))
+    cam = make_camera([0, 0, 3.0], fov_y=np.deg2rad(40), aspect=1.0,
+                      target=[0, 0, 0])
+    W = H = 24
+    cfg = PTConfig(max_path_length=4)
+
+    def img(bits):
+        return np.asarray(render_sample(scene, bvh, cam, W, H,
+                                        jnp.uint32(3), cfg,
+                                        debug_switches=jnp.uint32(bits)))
+
+    # the furnace is exactly 1.0 everywhere for ANY albedo/RR/jitter (that
+    # is the point of the test) — it cleanly isolates the estimator bits:
+    base = img(0)
+    assert img(1).mean() < base.mean()          # bit 0: no NEE loses light
+    assert img(2).mean() < base.mean()          # bit 1: no implicit hits
+    assert img(8).max() < 1e-6                  # bit 3: env is the only light
+
+    # the remaining bits change sampling/shading, invisible in a furnace —
+    # use the inhomogeneous box scene (+ a coarse sphere so interpolated
+    # and geometric normals actually differ for bit 7):
+    from scenes import box_scene
+
+    from gfxexp_tpu.scene.builder import affine
+
+    b = box_scene(albedo=0.5)
+    smat = b.add_lambert_material((0.5, 0.5, 0.5))
+    sph = b.add_sphere(0.35, smat, n_theta=6, n_phi=12)
+    b.add_instance(sph, affine(translation=[0.0, 0.35, -0.8]))
+    scene, bvh = compile_scene(b)
+    cam = make_camera([0, 0.5, 1.9], fov_y=np.deg2rad(75), aspect=1.0,
+                      target=[0, 0.3, -1.0])
+    base = img(0)
+    assert not np.allclose(img(4), base)        # bit 2: no RR changes noise
+    assert not np.allclose(img(32), base)       # bit 5: jitter off moves rays
+    assert img(64).mean() > base.mean()         # bit 6: 0.8 albedo override
+    assert not np.allclose(img(128), base)      # bit 7: geometric normals
+
+
+def test_debug_switch_no_bump_matches_untextured():
+    """bit 4 (disable bump mapping) must reproduce the image rendered with
+    cfg.enable_bump_mapping=False — same program, runtime toggle."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from scenes import box_scene
+
+    from gfxexp_tpu.scene.builder import SceneBuilder
+    from gfxexp_tpu.scene.compile import compile_scene
+
+    b = box_scene()
+    # attach a noisy normal map to every material so bump mapping matters
+    rng = np.random.default_rng(0)
+    nm = (rng.uniform(0.3, 0.7, size=(8, 8, 3))).astype(np.float32)
+    nm[..., 2] = 1.0
+    tid = b.add_texture(nm * 0.5 + 0.25)
+    for m in b.materials:
+        m.normal_tex = tid
+    scene, bvh = compile_scene(b)
+    cam = make_camera([0, 0.5, 1.9], fov_y=np.deg2rad(75), aspect=1.0,
+                      target=[0, 0.3, -1.0])
+    W = H = 24
+    cfg_on = PTConfig(max_path_length=3, enable_bump_mapping=True)
+    cfg_off = PTConfig(max_path_length=3, enable_bump_mapping=False)
+    bumped = np.asarray(render_sample(scene, bvh, cam, W, H, jnp.uint32(2),
+                                      cfg_on))
+    ref_off = np.asarray(render_sample(scene, bvh, cam, W, H, jnp.uint32(2),
+                                       cfg_off))
+    sw_off = np.asarray(render_sample(scene, bvh, cam, W, H, jnp.uint32(2),
+                                      cfg_on,
+                                      debug_switches=jnp.uint32(16)))
+    assert not np.allclose(bumped, ref_off)   # the map does something
+    assert np.allclose(sw_off, ref_off, atol=1e-6)  # bit 4 == compiled-off
