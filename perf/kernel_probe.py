@@ -98,6 +98,26 @@ def main():
     timeit("any-hit bounce",
            lambda: chained(bvh, tris, bo, bd, ones, any_hit=True), n)
 
+    # rows sweep: tile time = MAX per-row union iters across `rows` rows —
+    # fewer rows per tile shrinks the straggler max (and the per-iteration
+    # row-load bill) at the cost of more grid steps
+    @functools.partial(jax.jit, static_argnames=("rows",))
+    def chained_rows(nodes_bvh, tris_, o, d, tmax, rows):
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(CHAIN):
+            o2 = o + (acc * 0.0)
+            hit = intersect_closest_widestack(nodes_bvh, tris_, o2, d, 0.0,
+                                              tmax, rows=rows)
+            acc = acc + hit.t.sum()
+        return acc
+    for rows in (16, 32, 64):
+        timeit(f"closest primary rows={rows}",
+               lambda rows=rows: chained_rows(bvh, tris, ray_o, ray_d, ones,
+                                              rows), n)
+        timeit(f"closest bounce  rows={rows}",
+               lambda rows=rows: chained_rows(bvh, tris, bo, bd, ones,
+                                              rows), n)
+
     # iteration statistics: tile cost ~ max per-row iters in tile
     for name, (o_, d_) in {"primary": (ray_o, ray_d),
                            "bounce": (bo, bd)}.items():
