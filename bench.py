@@ -52,7 +52,7 @@ def build_bench_scene(big: bool = False, fmt: str = None, arity: int = 4,
     tag = "city_" if city else ("big_" if big else "")
     rb = f"_rb{rebraid:g}" if rebraid else ""
     cache_file = os.path.join(
-        _CACHE, f"bench_scene_{tag}{fmt}_a{arity}{rb}_v11.pkl")
+        _CACHE, f"bench_scene_{tag}{fmt}_a{arity}{rb}_v13.pkl")
     if os.path.exists(cache_file):
         try:
             with open(cache_file, "rb") as f:
@@ -103,8 +103,13 @@ def build_bench_scene(big: bool = False, fmt: str = None, arity: int = 4,
     def bunny_at(tx, tz):
         nonlocal sphere_b
         if bunny_geoms is not None:
+            # the bundled bunny OBJ spans ~85 object units (teapot ~154);
+            # 0.004 matches the teapot normalization. The old 0.3 made
+            # every bunny a 25-world-unit shell ENCLOSING the scene (the
+            # big render showed no bunnies, just a white surround; the
+            # city camera sat inside one and rendered black).
             b.add_instance(bunny_geoms,
-                           affine(scale=0.3, translation=[tx, 0.0, tz]))
+                           affine(scale=0.004, translation=[tx, 0.0, tz]))
         else:
             if sphere_b is None:
                 mat = b.add_lambert_material((0.3, 0.6, 0.3))

@@ -697,31 +697,43 @@ class SceneBuilder:
                 g = self.geometries[geom_id]
                 nt = geom_count[k]
                 lo = geom_base[k]
-                # world-space emissive importance under THIS instance
-                e1w = cat["e1"][lo:lo + nt] @ rot.T
-                e2w = cat["e2"][lo:lo + nt] @ rot.T
-                area = 0.5 * np.linalg.norm(np.cross(e1w, e2w), axis=-1)
                 emit_lum = float(np.dot(_LUMA, mats[g.material].emittance))
-                w = area * emit_lum
-                total = w.sum()
-                pmf = w / total if total > 0 else np.zeros(nt)
-                cdf = np.concatenate([[0.0], np.cumsum(pmf)[:-1]])
-                tri_pmf_chunks.append(pmf.astype(np.float32))
-                tri_cdf_chunks.append(cdf.astype(np.float32))
-                _, a_prob, a_idx, _ = vose_alias_arrays(w)
-                tri_aprob_chunks.append(a_prob.astype(np.float32))
-                tri_aidx_chunks.append(a_idx.astype(np.int32))
-                # light-order position -> GLOBAL blas triangle id
-                glob = blas_tri_base[b] + inv_perms[b][lo:lo + nt]
-                tri_idx_chunks.append(glob.astype(np.int32))
+                # only EMISSIVE units get light-order segments: the light
+                # arrays scale with emissive tris, not scene tris (a 514-
+                # instance city would otherwise carry 4.1M light rows and
+                # pack_light_rows would OOM gathering [T,3,4] transforms).
+                # Non-emissive units keep (offset=cursor, count=0): unit_pmf
+                # is 0 so they are never sampled, and surface_light_pdf's
+                # light_pos gather for their hits is multiplied by 0.
+                if emit_lum > 0.0:
+                    # world-space emissive importance under THIS instance
+                    e1w = cat["e1"][lo:lo + nt] @ rot.T
+                    e2w = cat["e2"][lo:lo + nt] @ rot.T
+                    area = 0.5 * np.linalg.norm(np.cross(e1w, e2w), axis=-1)
+                    w = area * emit_lum
+                    total = w.sum()
+                    pmf = w / total if total > 0 else np.zeros(nt)
+                    cdf = np.concatenate([[0.0], np.cumsum(pmf)[:-1]])
+                    tri_pmf_chunks.append(pmf.astype(np.float32))
+                    tri_cdf_chunks.append(cdf.astype(np.float32))
+                    _, a_prob, a_idx, _ = vose_alias_arrays(w)
+                    tri_aprob_chunks.append(a_prob.astype(np.float32))
+                    tri_aidx_chunks.append(a_idx.astype(np.int32))
+                    # light-order position -> GLOBAL blas triangle id
+                    glob = blas_tri_base[b] + inv_perms[b][lo:lo + nt]
+                    tri_idx_chunks.append(glob.astype(np.int32))
+                    nt_light = nt
+                else:
+                    total = 0.0
+                    nt_light = 0
 
                 unit_material.append(g.material)
                 unit_instance.append(inst_id)
                 unit_tri_offset.append(light_cursor)
-                unit_tri_count.append(nt)
+                unit_tri_count.append(nt_light)
                 unit_tri_base.append(lo)  # geometry-order base within blas
                 unit_importance.append(float(total))
-                light_cursor += nt
+                light_cursor += nt_light
                 unit_cursor += 1
 
         unit_importance = np.asarray(unit_importance, np.float64)
@@ -731,20 +743,25 @@ class SceneBuilder:
         unit_cdf = np.concatenate([[0.0], np.cumsum(unit_pmf)])
         _, unit_aprob, unit_aidx, _ = vose_alias_arrays(unit_importance)
 
+        def _cat(chunks, dtype):
+            # no emissive unit anywhere: keep 1-element zero arrays so
+            # device gathers stay well-formed (never sampled: pmf = 0)
+            if not chunks:
+                return np.zeros(1, dtype)
+            return np.concatenate(chunks).astype(dtype)
+
         units = UnitTable(
             material=np.asarray(unit_material, np.int32),
             instance=np.asarray(unit_instance, np.int32),
             tri_offset=np.asarray(unit_tri_offset, np.int32),
             tri_count=np.asarray(unit_tri_count, np.int32),
-            light_tri_cdf=np.concatenate(tri_cdf_chunks).astype(np.float32),
-            light_tri_index=np.concatenate(tri_idx_chunks).astype(np.int32),
+            light_tri_cdf=_cat(tri_cdf_chunks, np.float32),
+            light_tri_index=_cat(tri_idx_chunks, np.int32),
             # LIGHT-ORDER pmf (instanced mode; see lights.py light_tri_pmf_at)
-            light_tri_pmf=np.concatenate(tri_pmf_chunks).astype(np.float32),
+            light_tri_pmf=_cat(tri_pmf_chunks, np.float32),
             emissive_importance=np.asarray(unit_importance, np.float32),
-            light_tri_alias_prob=np.concatenate(
-                tri_aprob_chunks).astype(np.float32),
-            light_tri_alias_local=np.concatenate(
-                tri_aidx_chunks).astype(np.int32),
+            light_tri_alias_prob=_cat(tri_aprob_chunks, np.float32),
+            light_tri_alias_local=_cat(tri_aidx_chunks, np.int32),
         )
 
         transforms = np.stack(inst_transform).astype(np.float32)
