@@ -181,6 +181,11 @@ def _measure(argv, emit=True):
             arity = 8
         elif a.startswith("rebraid"):
             rebraid = float(a[7:] or 4.0)
+    if "persist" in argv or "nopersist" in argv:
+        # A/B the persistent row-slot scheduler on single-chunk tables
+        from gfxexp_tpu.accel import pallas_widestack
+
+        pallas_widestack.PERSISTENT = "persist" in argv
     t0 = time.time()
     scene, bvh = build_bench_scene(big=big, fmt=fmt, arity=arity,
                                    city=city, rebraid=rebraid)

@@ -53,6 +53,7 @@ scenes use the SkipBVH + device refit path).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -773,17 +774,44 @@ def _traverse_widestack(bvh: WideRowBVH, tris: TriangleSoA, o, d, t_min,
     return hit
 
 
+# route single-chunk queries through the persistent row-slot kernel
+# (pallas_persistent.py) instead of the static-tile walk. Flipped via env
+# GFXEXP_PERSIST=0/1 or bench.py's `persist`/`nopersist` tokens; default
+# decided by the round-4 A/B (perf/RESULTS_r4.md).
+PERSISTENT = os.environ.get("GFXEXP_PERSIST", "0") == "1"
+
+
+def _use_persistent(bvh) -> bool:
+    from gfxexp_tpu.accel.pallas_persistent import persistent_supported
+
+    return PERSISTENT and persistent_supported(bvh)
+
+
 def intersect_closest_widestack(bvh: WideRowBVH, tris: TriangleSoA, o, d,
                                 t_min=1e-4, t_max=1e30, rows: int = ROWS,
                                 with_stats: bool = False) -> HitInfo:
     """with_stats=True additionally returns per-ray row-iteration counts
     (the reference's TraversalStats heatmap analogue, tfdm_shared.h:33)."""
+    if _use_persistent(bvh):
+        from gfxexp_tpu.accel.pallas_persistent import (
+            intersect_closest_persistent,
+        )
+
+        return intersect_closest_persistent(bvh, tris, o, d, t_min, t_max,
+                                            rows=rows, with_stats=with_stats)
     return _traverse_widestack(bvh, tris, o, d, t_min, t_max, any_hit=False,
                                rows=rows, with_stats=with_stats)
 
 
 def intersect_any_widestack(bvh: WideRowBVH, tris: TriangleSoA, o, d,
                             t_min=1e-4, t_max=1e30, rows: int = ROWS):
+    if _use_persistent(bvh):
+        from gfxexp_tpu.accel.pallas_persistent import (
+            intersect_any_persistent,
+        )
+
+        return intersect_any_persistent(bvh, tris, o, d, t_min, t_max,
+                                        rows=rows)
     return _traverse_widestack(bvh, tris, o, d, t_min, t_max, any_hit=True,
                                rows=rows).hit
 
