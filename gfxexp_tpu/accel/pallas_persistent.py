@@ -70,16 +70,20 @@ from gfxexp_tpu.accel.traverse import HitInfo
 from gfxexp_tpu.scene.types import TriangleSoA
 
 _LANE = 128
-# pool sizing: VMEM budget ~16 MB/core. Per pool row: rays [8,128] f32
-# (4 KB) + packed out [5->8,128] f32 (4 KB) = 8 KB. The node table costs
-# R*256 B (+ double buffer head-room when chunked; v1 is single-chunk so
-# one copy), carries/scratch ~0.5 MB.
+# pool sizing: VMEM budget 16 MB/core. Per pool row: rays [8,128] f32
+# (4 KB) + packed out [5,128] f32 padded to 8 sublanes (4 KB), and Mosaic
+# DOUBLE-BUFFERS both blocks (their index maps move with the grid) =
+# 16 KB/row. The node table block has a constant index map (one copy);
+# carries/scratch/stack ~1 MB. Measured: pool=1024 with a 7084-row table
+# was 19.09 M (3.09 M over the scoped limit) — consistent with this model.
 _POOL_CAP = int(os.environ.get("GFXEXP_PERSIST_POOL", "1024"))
 
 
 def _default_pool(n_rows_tab: int, rows: int) -> int:
-    avail = 14_000_000 - 2 * n_rows_tab * 256 - 500_000
-    pool = min(_POOL_CAP, max(rows, avail // 8192))
+    # fixed ~3.5 MB: scratch + while-carry spills + kernel temps
+    # (empirical: pool=743 / 7084-row table allocated 16.90 M scoped)
+    avail = 15_500_000 - n_rows_tab * 256 - 3_500_000
+    pool = min(_POOL_CAP, max(rows, avail // 16384))
     return int(pool)
 
 
