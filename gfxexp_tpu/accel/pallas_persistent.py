@@ -76,13 +76,20 @@ _LANE = 128
 # 16 KB/row. The node table block has a constant index map (one copy);
 # carries/scratch/stack ~1 MB. Measured: pool=1024 with a 7084-row table
 # was 19.09 M (3.09 M over the scoped limit) — consistent with this model.
-_POOL_CAP = int(os.environ.get("GFXEXP_PERSIST_POOL", "1024"))
+_POOL_CAP = int(os.environ.get("GFXEXP_PERSIST_POOL", "2048"))
+# scheduling batch: run the unrolled writeback/refill block only when this
+# many slots are simultaneously done (r5 sweep; 1 = original per-finish)
+SCHED_K = int(os.environ.get("GFXEXP_PERSIST_SCHED_K", "16"))
 
 
 def _default_pool(n_rows_tab: int, rows: int) -> int:
-    # fixed ~3.5 MB: scratch + while-carry spills + kernel temps
-    # (empirical: pool=743 / 7084-row table allocated 16.90 M scoped)
-    avail = 15_500_000 - n_rows_tab * 256 - 3_500_000
+    # r5 empirical VMEM envelope on v5e: pool=4096 with a 7084-row table
+    # (16 MB rays + 16 MB out, double-buffered at g=2) compiles and runs —
+    # the effective budget is far above the 16 MB scoped default. Keep a
+    # conservative 60 MB model: 16 KB per pool row (rays+out, double-
+    # buffered) + 256 B per table row. pool=2048 measured best (fewest
+    # grid steps; the straggler tail amortizes over the whole pool).
+    avail = 60_000_000 - n_rows_tab * 256 - 3_500_000
     pool = min(_POOL_CAP, max(rows, avail // 16384))
     return int(pool)
 
@@ -94,16 +101,26 @@ def _safe_inv(v):
 
 def _make_persistent_kernel(n_rows_tab: int, arity: int, width: int,
                             max_leaf: int, stack_depth: int, any_hit: bool,
-                            rows: int, pool: int):
+                            rows: int, pool: int, sched_k: int = 1):
+    """sched_k: only run the (expensive, 64-slot unrolled) writeback/refill
+    block when >= sched_k slots are simultaneously done. Done slots idle
+    masked for a few iterations (bounded waste ~sched_k/finish-rate) but the
+    ~13 us scheduling block amortizes over sched_k refills — measured r5:
+    ungated (sched_k=1) scheduling cost x6 the per-iteration walk cost."""
     net = _NET4 if arity <= 4 else _NET8
     K = arity
+    sched_k = min(sched_k, rows)
 
     def kernel(nodes, rays, out_pk, ray_s, inv_s):
         # ---- prefill: slots 0..rows-1 take pool rows 0..rows-1 ----------
-        dat0 = rays[0, 0:rows]  # [rows, 8, 128]
+        # rays is COMPONENT-MAJOR [1, 8, pool, 128] so the per-iteration
+        # scratch reads below are contiguous [rows, 128] blocks (the
+        # row-major [rows, 8, 128] layout forced a strided sublane
+        # relayout per component per iteration — measured x4 c_iter)
+        dat0 = rays[0, :, 0:rows, :]  # [8, rows, 128]
         ray_s[...] = dat0
-        inv_s[...] = _safe_inv(dat0[:, 3:6, :])
-        tmax0 = dat0[:, 7, :]  # [rows, 128]
+        inv_s[...] = _safe_inv(dat0[3:6])
+        tmax0 = dat0[7]  # [rows, 128]
         # init from runtime data, not splats (Mosaic: splat-init while
         # carries get replicated layouts the body then can't match)
         zero_i = (tmax0 * 0.0).astype(jnp.int32)  # [rows, 128]
@@ -137,17 +154,22 @@ def _make_persistent_kernel(n_rows_tab: int, arity: int, width: int,
             # ---- writeback + refill (uses PREVIOUS iteration's state) ---
             done = (cur < 0).astype(jnp.int32)            # [rows, 1]
             pend = done * (slot_row >= 0).astype(jnp.int32)
-            # exclusive rank among done slots via log-shift cumsum
-            cum = done
+            # trigger the scheduling block only when >= sched_k slots wait
+            # (or the pool is drained, so the tail drains promptly)
+            n_pend = jnp.sum(pend)
+            do_sched = (n_pend >= sched_k) | ((ctr >= pool) & (n_pend > 0))
+            pend = pend * do_sched.astype(jnp.int32)
+            # exclusive rank among refillable slots via log-shift cumsum
+            cum = pend
             sh = 1
             while sh < rows:
                 cum = cum + jnp.concatenate(
                     [cum[:sh] * 0, cum[:-sh]], axis=0)
                 sh *= 2
-            rank = cum - done
+            rank = cum - pend
             new_row = rank + ctr                          # [rows, 1]
-            can = done * (new_row < pool).astype(jnp.int32)
-            do_any = jnp.max(pend + can) > 0
+            can = pend * (new_row < pool).astype(jnp.int32)
+            do_any = do_sched
 
             @pl.when(do_any)
             def _wb_refill():
@@ -168,30 +190,33 @@ def _make_persistent_kernel(n_rows_tab: int, arity: int, width: int,
                     @pl.when(can[r, 0] > 0)
                     def _refill(r=r):
                         j = new_row[r, 0]
-                        dat = rays[0, pl.ds(j, 1)][0]  # [8, 128]
-                        ray_s[r] = dat
-                        inv_s[r] = _safe_inv(dat[3:6, :])
+                        dat = rays[0, :, pl.ds(j, 1), :]  # [8, 1, 128]
+                        ray_s[:, r:r + 1, :] = dat
+                        inv_s[:, r:r + 1, :] = _safe_inv(dat[3:6])
 
             # ---- merge refills into the carry (dataflow) ----------------
-            rs = ray_s[...]   # [rows, 8, 128]
-            iv = inv_s[...]   # [rows, 3, 128]
+            rs = ray_s[...]   # [8, rows, 128] component-major
+            iv = inv_s[...]   # [3, rows, 128]
             canb = can > 0
             cur = jnp.where(canb, 0, cur)
             sp = jnp.where(canb, 0, sp)
+            # retire only slots whose writeback actually ran (gated pend);
+            # ungated done slots keep slot_row and idle masked until the
+            # next scheduling trigger
             slot_row = jnp.where(canb, new_row,
-                                 jnp.where(done > 0, -1, slot_row))
-            best_t = jnp.where(canb, rs[:, 7, :], best_t)
+                                 jnp.where(pend > 0, -1, slot_row))
+            best_t = jnp.where(canb, rs[7], best_t)
             best_tri = jnp.where(canb, -1, best_tri)
             best_u = jnp.where(canb, 0.0, best_u)
             best_v = jnp.where(canb, 0.0, best_v)
             iters = jnp.where(canb, 0, iters)
             ctr = ctr + jnp.sum(can)
 
-            ox, oy, oz = rs[:, 0, :], rs[:, 1, :], rs[:, 2, :]
-            dx, dy, dz = rs[:, 3, :], rs[:, 4, :], rs[:, 5, :]
-            tmin = rs[:, 6, :]
-            tmax = rs[:, 7, :]
-            ix, iy, iz = iv[:, 0, :], iv[:, 1, :], iv[:, 2, :]
+            ox, oy, oz = rs[0], rs[1], rs[2]
+            dx, dy, dz = rs[3], rs[4], rs[5]
+            tmin = rs[6]
+            tmax = rs[7]
+            ix, iy, iz = iv[0], iv[1], iv[2]
 
             # ---- traversal step (identical to pallas_widestack) ---------
             active = cur >= 0  # [rows, 1]
@@ -323,12 +348,13 @@ def _make_persistent_kernel(n_rows_tab: int, arity: int, width: int,
 @functools.partial(
     jax.jit,
     static_argnames=("n_rows_tab", "arity", "width", "max_leaf",
-                     "stack_depth", "any_hit", "rows", "pool"))
+                     "stack_depth", "any_hit", "rows", "pool", "sched_k"))
 def _run_persistent(nodes, rays, n_rows_tab, arity, width, max_leaf,
-                    stack_depth, any_hit, rows, pool):
+                    stack_depth, any_hit, rows, pool, sched_k=1):
     g = rays.shape[0]
     kernel = _make_persistent_kernel(n_rows_tab, arity, width, max_leaf,
-                                     stack_depth, any_hit, rows, pool)
+                                     stack_depth, any_hit, rows, pool,
+                                     sched_k=sched_k)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((g, pool, 5, _LANE), jnp.float32),
@@ -336,14 +362,14 @@ def _run_persistent(nodes, rays, n_rows_tab, arity, width, max_leaf,
         in_specs=[
             pl.BlockSpec((1, n_rows_tab, width), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pool, 8, _LANE), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, 8, pool, _LANE), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, pool, 5, _LANE), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((rows, 8, _LANE), jnp.float32),   # per-slot rays
-            pltpu.VMEM((rows, 3, _LANE), jnp.float32),   # reciprocals
+            pltpu.VMEM((8, rows, _LANE), jnp.float32),   # per-slot rays
+            pltpu.VMEM((3, rows, _LANE), jnp.float32),   # reciprocals
         ],
         interpret=jax.default_backend() != "tpu",
     )(nodes, rays)
@@ -351,7 +377,8 @@ def _run_persistent(nodes, rays, n_rows_tab, arity, width, max_leaf,
 
 def _traverse_persistent(bvh: WideRowBVH, tris: TriangleSoA, o, d, t_min,
                          t_max, any_hit: bool, rows: int = ROWS,
-                         pool: int | None = None, with_stats: bool = False):
+                         pool: int | None = None, with_stats: bool = False,
+                         sched_k: int = SCHED_K):
     assert bvh.nodes.shape[0] == 1, "persistent kernel is single-chunk (v1)"
     n_rays = o.shape[0]
     n_rows_tab = bvh.nodes.shape[1]
@@ -380,14 +407,14 @@ def _traverse_persistent(bvh: WideRowBVH, tris: TriangleSoA, o, d, t_min,
         ],
         axis=0,
     )  # [8, n_pad]
-    rays = comps.reshape(8, g, pool, _LANE).transpose(1, 2, 0, 3)
+    rays = comps.reshape(8, g, pool, _LANE).transpose(1, 0, 2, 3)
 
     stack_depth = int(bvh.max_depth + 2) * max(bvh.arity - 1, 1)
     out_pk = _run_persistent(
         bvh.nodes, rays,
         n_rows_tab=n_rows_tab, arity=bvh.arity, width=bvh.width,
         max_leaf=bvh.max_leaf, stack_depth=stack_depth, any_hit=any_hit,
-        rows=rows, pool=pool)  # [g, pool, 5, 128]
+        rows=rows, pool=pool, sched_k=sched_k)  # [g, pool, 5, 128]
 
     def flat(c):
         return out_pk[:, :, c, :].reshape(n_pad)[:n_rays]
@@ -406,17 +433,21 @@ def _traverse_persistent(bvh: WideRowBVH, tris: TriangleSoA, o, d, t_min,
 def intersect_closest_persistent(bvh: WideRowBVH, tris: TriangleSoA, o, d,
                                  t_min=1e-4, t_max=1e30, rows: int = ROWS,
                                  pool: int | None = None,
-                                 with_stats: bool = False) -> HitInfo:
+                                 with_stats: bool = False,
+                                 sched_k: int | None = None) -> HitInfo:
     return _traverse_persistent(bvh, tris, o, d, t_min, t_max,
                                 any_hit=False, rows=rows, pool=pool,
-                                with_stats=with_stats)
+                                with_stats=with_stats,
+                                sched_k=sched_k or SCHED_K)
 
 
 def intersect_any_persistent(bvh: WideRowBVH, tris: TriangleSoA, o, d,
                              t_min=1e-4, t_max=1e30, rows: int = ROWS,
-                             pool: int | None = None):
+                             pool: int | None = None,
+                             sched_k: int | None = None):
     return _traverse_persistent(bvh, tris, o, d, t_min, t_max,
-                                any_hit=True, rows=rows, pool=pool).hit
+                                any_hit=True, rows=rows, pool=pool,
+                                sched_k=sched_k or SCHED_K).hit
 
 
 def persistent_supported(bvh) -> bool:

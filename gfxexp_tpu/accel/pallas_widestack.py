@@ -776,15 +776,28 @@ def _traverse_widestack(bvh: WideRowBVH, tris: TriangleSoA, o, d, t_min,
 
 # route single-chunk queries through the persistent row-slot kernel
 # (pallas_persistent.py) instead of the static-tile walk. Flipped via env
-# GFXEXP_PERSIST=0/1 or bench.py's `persist`/`nopersist` tokens; default
-# decided by the round-4 A/B (perf/RESULTS_r4.md).
-PERSISTENT = os.environ.get("GFXEXP_PERSIST", "0") == "1"
+# GFXEXP_PERSIST=0/1 (read at CALL time so toggles after import work),
+# set_persistent(), or bench.py's `persist`/`nopersist` tokens; default
+# decided by the round-5 A/B (perf/RESULTS_r5.md).
+PERSISTENT: bool | None = None  # None -> defer to env var
+
+
+def set_persistent(on: bool | None) -> None:
+    """Override the persistent-kernel routing (None = env GFXEXP_PERSIST)."""
+    global PERSISTENT
+    PERSISTENT = on
 
 
 def _use_persistent(bvh) -> bool:
     from gfxexp_tpu.accel.pallas_persistent import persistent_supported
 
-    return PERSISTENT and persistent_supported(bvh)
+    # default ON since r5: persistent wins every measured population
+    # (kernel-only bounce 39.7 vs 24.7 Mrays/s; end-to-end 512^2 6.84 vs
+    # 5.53, 1080p 7.09 vs 5.85 — perf/RESULTS_r5.md)
+    on = PERSISTENT
+    if on is None:
+        on = os.environ.get("GFXEXP_PERSIST", "1") == "1"
+    return on and persistent_supported(bvh)
 
 
 def intersect_closest_widestack(bvh: WideRowBVH, tris: TriangleSoA, o, d,
