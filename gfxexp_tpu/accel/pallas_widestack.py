@@ -788,16 +788,31 @@ def set_persistent(on: bool | None) -> None:
     PERSISTENT = on
 
 
-def _use_persistent(bvh) -> bool:
-    from gfxexp_tpu.accel.pallas_persistent import persistent_supported
-
-    # default ON since r5: persistent wins every measured population
-    # (kernel-only bounce 39.7 vs 24.7 Mrays/s; end-to-end 512^2 6.84 vs
-    # 5.53, 1080p 7.09 vs 5.85 — perf/RESULTS_r5.md)
+def _persist_on() -> bool:
     on = PERSISTENT
     if on is None:
         on = os.environ.get("GFXEXP_PERSIST", "1") == "1"
-    return on and persistent_supported(bvh)
+    return on
+
+
+def _use_persistent(bvh) -> bool:
+    # default ON since r5: persistent wins every measured population
+    # (kernel-only bounce 39.7 vs 24.7 Mrays/s; end-to-end 512^2 6.84 vs
+    # 5.53, 1080p 7.09 vs 5.85 — perf/RESULTS_r5.md)
+    from gfxexp_tpu.accel.pallas_persistent import persistent_supported
+
+    return _persist_on() and persistent_supported(bvh)
+
+
+def _use_persistent_inst(acc) -> bool:
+    # default ON since r5: per-row worklists + per-slot entry advance win
+    # 3-8x over the static (tiles x entries) grid on the 514-entry city
+    # scene (perf/RESULTS_r5.md)
+    from gfxexp_tpu.accel.pallas_persistent_inst import (
+        persistent_inst_supported,
+    )
+
+    return _persist_on() and persistent_inst_supported(acc)
 
 
 def intersect_closest_widestack(bvh: WideRowBVH, tris: TriangleSoA, o, d,
@@ -1418,6 +1433,13 @@ def intersect_closest_instanced(acc: InstancedAccel, o, d, t_min=1e-4,
             and acc.num_instances > 1 and acc.width != 32:
         return _traverse_instanced_tlas(acc, o, d, t_min, t_max,
                                         any_hit=False, rows=rows)
+    if _use_persistent_inst(acc):
+        from gfxexp_tpu.accel.pallas_persistent_inst import (
+            _traverse_persistent_inst,
+        )
+
+        return _traverse_persistent_inst(acc, o, d, t_min, t_max,
+                                         any_hit=False, rows=rows)
     return _traverse_instanced(acc, o, d, t_min, t_max, any_hit=False,
                                rows=rows)
 
@@ -1431,6 +1453,13 @@ def intersect_any_instanced(acc: InstancedAccel, o, d, t_min=1e-4,
         hit, _ = _traverse_instanced_tlas(acc, o, d, t_min, t_max,
                                           any_hit=True, rows=rows)
         return hit.hit
+    if _use_persistent_inst(acc):
+        from gfxexp_tpu.accel.pallas_persistent_inst import (
+            intersect_any_persistent_inst,
+        )
+
+        return intersect_any_persistent_inst(acc, o, d, t_min, t_max,
+                                             rows=rows)
     hit, _ = _traverse_instanced(acc, o, d, t_min, t_max, any_hit=True,
                                  rows=rows)
     return hit.hit
