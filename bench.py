@@ -321,6 +321,16 @@ def _measure(argv, emit=True):
         # also keep the render so correctness on the big scene is auditable
         from gfxexp_tpu.utils.image_io import save_png
 
+        if hd:
+            # the hd path concatenates render_tile_accumulate outputs, which
+            # are in LANE (block-major) order; unscramble to pixel order
+            # before the row-major reshape (render_sample already does this
+            # for the non-hd paths)
+            from gfxexp_tpu.render.camera import lane_from_pixel
+
+            order = lane_from_pixel(
+                jnp.arange(WIDTH * HEIGHT, dtype=jnp.uint32), WIDTH, HEIGHT)
+            img = img[order]
         tone = img.reshape(HEIGHT, WIDTH, 3)
         save_png(os.path.join(_REPO, "out",
                               f"bench_{'city' if city else 'big'}.png"),

@@ -287,6 +287,9 @@ def build_curve_segments(control_points, radii, material: int = 0,
         pts, rads = [], []
         n_spans = (cp.shape[0] - k) // stride + 1
         assert n_spans >= 1, (cp.shape, curve_type)
+        assert (cp.shape[0] - k) % stride == 0, (
+            f"{curve_type}: {cp.shape[0]} control points leave a partial "
+            f"trailing span (need k={k} + m*{stride})")
         for s in range(n_spans):
             c0 = s * stride
             ts = np.linspace(0.0, 1.0, n_subdiv + 1)
@@ -389,6 +392,9 @@ def build_curve_spans(control_points, radii, material: int = 0,
     stride = _span_stride(curve_type)
     n_spans = (cp.shape[0] - k) // stride + 1
     assert n_spans >= 1, (cp.shape, curve_type)
+    assert (cp.shape[0] - k) % stride == 0, (
+        f"{curve_type}: {cp.shape[0]} control points leave a partial "
+        f"trailing span (need k={k} + m*{stride})")
     coef = np.zeros((n_spans, 4, 3), np.float64)
     rcoef = np.zeros((n_spans, 4), np.float64)
     for s in range(n_spans):

@@ -109,46 +109,22 @@ def svgf_frame_sharded(mesh: Mesh, state, gb, lighting, cfg=None):
     Bit-parity with techniques.svgf.svgf_frame is tested on the 8-device
     CPU mesh (tests/test_parallel.py)."""
     from gfxexp_tpu.techniques.svgf import (
-        SVGFConfig, SVGFState, _depth_gradients,
-        demodulate_albedo, estimate_variance, taa, temporal_accumulate)
+        SVGFConfig, _depth_gradients, svgf_frame)
 
     if cfg is None:
         cfg = SVGFConfig()
-    hit = gb.hit
-    dem = demodulate_albedo(lighting, gb.albedo)
-    noisy, moments, count = temporal_accumulate(state, gb, dem, cfg)
 
-    if cfg.enable_svgf:
-        variance = estimate_variance(moments, count, gb.depth, gb.normal,
-                                     hit, cfg)
-        dzdx, dzdy = _depth_gradients(jnp.where(hit, gb.depth, jnp.inf))
-        height, width = gb.depth.shape
-        fn = _atrous_sharded_fn(mesh, height, width, cfg)
-        filtered, first_filtered = fn(noisy, variance, gb.depth, gb.normal,
-                                      hit, dzdx, dzdy)
-        feedback = first_filtered if cfg.feedback_1st_filtered else noisy
-    else:
-        filtered = noisy
-        feedback = noisy
+    def pyramid(noisy, variance, gb_, cfg_):
+        dzdx, dzdy = _depth_gradients(jnp.where(gb_.hit, gb_.depth, jnp.inf))
+        height, width = gb_.depth.shape
+        fn = _atrous_sharded_fn(mesh, height, width, cfg_)
+        return fn(noisy, variance, gb_.depth, gb_.normal, gb_.hit,
+                  dzdx, dzdy)
 
-    final = filtered * gb.albedo
-    final = jnp.where(hit[..., None], final, lighting)
-    if cfg.enable_taa:
-        final = taa(final, state.taa_history, gb.motion, state.first_frame,
-                    cfg)
-
-    new_state = SVGFState(
-        prev_noisy=jnp.where(hit[..., None], feedback, 0.0),
-        moments=moments,
-        sample_count=jnp.where(hit, count, 0.0),
-        prev_position=gb.position,
-        prev_normal=gb.normal,
-        prev_unit=gb.unit,
-        prev_material=gb.material,
-        taa_history=final,
-        first_frame=jnp.asarray(False),
-    )
-    return final, new_state
+    # all pre/post logic (temporal accumulate, demodulation, feedback
+    # selection, TAA, state construction) is svgf_frame's — only the
+    # à-trous pyramid driver is substituted, so the two paths cannot drift
+    return svgf_frame(state, gb, lighting, cfg, pyramid_fn=pyramid)
 
 
 @functools.lru_cache(maxsize=16)

@@ -392,16 +392,37 @@ def taa(color, history, motion, first_frame, cfg: SVGFConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def _atrous_pyramid(noisy, variance, gb: GBuffer, cfg: SVGFConfig):
+    """Default (single-device) à-trous pyramid driver: returns
+    (filtered, first_stage_filtered)."""
+    color = noisy
+    first_filtered = noisy
+    for stage, step in enumerate(_STEP_WIDTHS[: cfg.num_filter_stages]):
+        color, variance = atrous_stage(
+            color, variance, gb.depth, gb.normal, gb.hit, step, cfg
+        )
+        if stage == 0:
+            first_filtered = color
+    return color, first_filtered
+
+
 def svgf_frame(
     state: SVGFState,
     gb: GBuffer,
     lighting,
     cfg: SVGFConfig = SVGFConfig(),
+    pyramid_fn=None,
 ):
     """Full SVGF pipeline for one frame. `lighting` is the 1-spp path-traced
     radiance [H, W, 3] (un-demodulated). Returns (final color [H, W, 3],
     new state). Background (miss) pixels pass through untouched (reference:
-    fillBackground writes env radiance there)."""
+    fillBackground writes env radiance there).
+
+    `pyramid_fn(noisy, variance, gb, cfg) -> (filtered, first_filtered)`
+    overrides the à-trous pyramid driver only (the multi-chip path in
+    parallel/sharding.py substitutes a halo-exchange sharded pyramid; the
+    temporal/demodulate/TAA pre/post logic is shared here so the two paths
+    cannot drift)."""
     hit = gb.hit
     dem = demodulate_albedo(lighting, gb.albedo)
 
@@ -409,15 +430,9 @@ def svgf_frame(
 
     if cfg.enable_svgf:
         variance = estimate_variance(moments, count, gb.depth, gb.normal, hit, cfg)
-        color = noisy
-        feedback = noisy
-        for stage, step in enumerate(_STEP_WIDTHS[: cfg.num_filter_stages]):
-            color, variance = atrous_stage(
-                color, variance, gb.depth, gb.normal, hit, step, cfg
-            )
-            if stage == 0 and cfg.feedback_1st_filtered:
-                feedback = color
-        filtered = color
+        filtered, first_filtered = (pyramid_fn or _atrous_pyramid)(
+            noisy, variance, gb, cfg)
+        feedback = first_filtered if cfg.feedback_1st_filtered else noisy
     else:
         filtered = noisy
         feedback = noisy

@@ -267,13 +267,17 @@ def test_exact_span_intersection_vs_dense_polyline():
 
     rng = np.random.default_rng(7)
     cp = np.array([[0, 0, 0], [1, 1.2, 0.3], [2, -0.8, -0.4], [3, 0.2, 0.5],
-                   [4, 1.0, 0.0]], np.float32)
-    r = np.array([0.22, 0.15, 0.3, 0.18, 0.25], np.float32)
+                   [4, 1.0, 0.0], [5, -0.3, 0.2], [6, 0.6, -0.1]], np.float32)
+    r = np.array([0.22, 0.15, 0.3, 0.18, 0.25, 0.2, 0.17], np.float32)
 
     for ct in (CURVE_CUBIC_BSPLINE, CURVE_CATMULL_ROM, CURVE_BEZIER,
                CURVE_QUADRATIC_BSPLINE):
         k = 3 if ct == CURVE_QUADRATIC_BSPLINE else 4
-        cpk, rk = cp[:k + 1], r[:k + 1]  # 2 spans
+        # 2 spans each: stride-1 bases need k+1 points; Bezier (stride 3)
+        # needs k + 3 = 7 — a 5-point Bezier chain is malformed and now
+        # asserts instead of silently dropping the trailing point
+        n_cp = 7 if ct == CURVE_BEZIER else k + 1
+        cpk, rk = cp[:n_cp], r[:n_cp]
         spans = build_curve_spans(cpk, rk, curve_type=ct)
         poly = build_curve_segments(cpk, rk, curve_type=ct, n_subdiv=256)
 
