@@ -799,7 +799,8 @@ def intersect_tfdm_v2(geom: TFDMGeometry, o, d, t_min=1e-4, t_max=1e30,
                       k_candidates: int = 4, max_steps: int = 128,
                       n_refine: int = 8, coarse_size: int = 16,
                       mid_size: int = 64, fine_size: int = 256,
-                      full_pyramid: bool = True) -> TFDMHit:
+                      full_pyramid: bool = True,
+                      conservative: bool = True) -> TFDMHit:
     """Mip-guided displaced-surface intersection, vectorized over rays.
 
     Per ray: candidates stream nearest-first UNTIL the next prism AABB is
@@ -815,7 +816,21 @@ def intersect_tfdm_v2(geom: TFDMGeometry, o, d, t_min=1e-4, t_max=1e30,
     come back as the TraversalStats heatmap (reference:
     displacedSurface_generic's pyramid descend-or-advance loop,
     tfdm_intersection_kernels.h:171-560; directed rounding replaced by
-    epsilon widening, SURVEY.md §7 phase 5)."""
+    epsilon widening, SURVEY.md §7 phase 5).
+
+    conservative=True (default): occupied BASE texels are resolved with an
+    exact per-texel solve instead of dt_fine point sampling. Inside one
+    texel uv(t) is LINEAR in t (shell barycentrics are linear in the world
+    point) and the bilinear height along a line is QUADRATIC in t, so the
+    gap g(t) = h_shell(t) - h_disp(uv(t))*cos_tilt is quadratic up to the
+    slowly-varying normal tilt; the interpolating quadratic through
+    g(entry), g(mid), g(exit) detects BOTH endpoint sign changes and
+    vertex double-crossings (a ray dipping under a spike and back out
+    within one texel crossing — the case the fixed dt_fine march provably
+    misses, tests/test_tfdm.py thin-spike regression). The walk advances
+    texel-to-texel (descend-or-advance, matching the reference's
+    guaranteed-complete texel enumeration) and cannot skip a texel.
+    conservative=False keeps the r4 fixed-step march for A/B."""
     n_rays = o.shape[0]
     s = geom.height.shape[0]
     mm = geom.minmax
@@ -1011,6 +1026,43 @@ def intersect_tfdm_v2(geom: TFDMGeometry, o, d, t_min=1e-4, t_max=1e30,
                 # level was occupied; an empty outer level keeps its exit
                 t_exit = jnp.where(occupied, exit_l, t_exit)
                 occupied = occupied & occ_l
+
+            if conservative:
+                # per-texel exact resolve: the walk sits at the ENTRY of a
+                # base texel whose span is [t, t_exit] (t_exit is the
+                # finest-level exit for occupied lanes). Fit the exact
+                # quadratic through g(entry), g(mid), g(exit); endpoint
+                # sign change -> bracket the span; else a vertex dip with
+                # the TRUE gap flipping sign at the vertex -> bracket
+                # [entry, vertex] (double-crossing). Advance = texel exit,
+                # always — the enumeration visits every crossed texel.
+                g_a, _ = gap_of(t)
+                tb = t_exit
+                tm = 0.5 * (t + tb)
+                g_m, _ = gap_of(tm)
+                g_b, in_b = gap_of(tb)
+                qa = 2.0 * g_a - 4.0 * g_m + 2.0 * g_b
+                qb = -3.0 * g_a + 4.0 * g_m - g_b
+                live = running & occupied & ~found
+                cross_ends = live & in_b & (jnp.sign(g_a) != jnp.sign(g_b))
+                qa_safe = jnp.where(jnp.abs(qa) < 1e-12, 1.0, qa)
+                tau_v = -qb / (2.0 * qa_safe)
+                valid_v = (jnp.abs(qa) >= 1e-12) & (tau_v > 0.0) & (
+                    tau_v < 1.0)
+                t_v = t + jnp.clip(tau_v, 0.0, 1.0) * (tb - t)
+                g_v, in_v = gap_of(t_v)
+                cross_vert = (live & ~cross_ends & valid_v & in_v
+                              & (jnp.sign(g_v) != jnp.sign(g_a)))
+                crossing = cross_ends | cross_vert
+                t_lo = jnp.where(crossing, t, t_lo)
+                t_hi = jnp.where(cross_ends, tb,
+                                 jnp.where(cross_vert, t_v, t_hi))
+                found = found | crossing
+                t_next = jnp.minimum(t_exit, far)
+                running = running & ~found & (t < far - 1e-7) & (
+                    steps < max_steps)
+                return (jnp.where(running, t_next, t), t, g_a, prev_valid,
+                        found, t_lo, t_hi, running, steps)
 
             gap, inside = gap_of(t)
             crossing = (running & prev_valid & inside

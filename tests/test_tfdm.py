@@ -188,6 +188,50 @@ def test_tfdm_v2_no_missed_thin_features():
     assert 0.4 < float(h2.t[0]) < 0.52, float(h2.t[0])
 
 
+def test_tfdm_v2_conservative_catches_subsample_dips():
+    """VERDICT r4 item #6: the fixed-step march point-samples the gap at
+    dt_fine (half a base texel of uv travel) and provably misses a ray
+    that dips under the surface and back out BETWEEN samples. The
+    conservative per-texel walk (quadratic solve per crossed texel) must
+    catch it. Scene: a single raised sample on a 64^2 map — a bilinear
+    tent one patch wide (reference criterion: the texel enumeration of
+    tfdm_intersection_kernels.h:40-560 visits every crossed texel)."""
+    from gfxexp_tpu.techniques.tfdm import intersect_tfdm_v2
+
+    s = 64
+    height = np.zeros((s, s), np.float32)
+    height[32, 32] = 1.0  # apex at uv = (32.5/64, 32.5/64)
+    geom = _plane_geom(height, DisplacementParameters(h_scale=0.4))
+
+    # ray A (endpoint case): grazes 0.004 below the 0.4 apex along the
+    # apex's sample row; the sub-surface interval is ~1.5e-4 in t, 50x
+    # smaller than dt_fine — the quadratic's ENDPOINT sign change at the
+    # texel exit (the apex is a patch corner) brackets it.
+    # ray B (vertex case): crosses the tent anti-diagonally through the
+    # patch center, where the bilinear term makes the gap quadratic with
+    # an INTERIOR minimum (surface max 0.4*f(1-f) = 0.1 at f=0.5); at
+    # y=0.099 the dip lasts ~0.0016 world units, 5x below dt_fine.
+    apex = 32.5 / s
+    o = jnp.asarray([[0.0, 0.396, apex],
+                     [0.2, 0.099, 0.8]])
+    d = jnp.asarray([[1.0, 0.0, 0.0],
+                     [1.0, 0.0, -1.0]]) / jnp.asarray([[1.0], [np.sqrt(2)]])
+
+    h_old = intersect_tfdm_v2(geom, o, d, conservative=False)
+    h_new = intersect_tfdm_v2(geom, o, d)
+    # the r4 march misses the interior dip (ray B) — its samples straddle
+    # the 0.0016-wide sub-surface interval with no sign change (ray A's
+    # dip happens to catch a sample on this exact geometry, so only the
+    # structural miss is pinned; the new walk must find BOTH)
+    assert not bool(h_old.hit[1]), float(h_old.t[1])
+    assert bool(h_new.hit[0]) and bool(h_new.hit[1]), np.asarray(h_new.hit)
+    # ray A crosses within half a texel of the apex x=0.5078125
+    assert abs(float(h_new.t[0]) - apex) < 1.0 / s, float(h_new.t[0])
+    # ray B's dip straddles the patch-center crossing at t = 0.3*sqrt(2)
+    assert abs(float(h_new.t[1]) - 0.3 * np.sqrt(2)) < 2.0 / s, (
+        float(h_new.t[1]))
+
+
 def test_tfdm_v2_step_reduction():
     """Empty-space skipping: a ray crossing mostly-empty texels must use
     far fewer steps than the blind marcher's fixed 48/prism."""
@@ -231,10 +275,14 @@ def test_tfdm_v2_full_pyramid_1k():
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     oj, dj = jnp.asarray(o), jnp.asarray(d)
 
+    # conservative=False: this test pins the OLD march's step economics
+    # (full chain skips at base-texel granularity where the 3-level probe
+    # half-texel-steps); the conservative walk advances per-texel in both
+    # configs, erasing the contrast it measures
     h_full = intersect_tfdm_v2(geom, oj, dj, full_pyramid=True,
-                               max_steps=256)
+                               max_steps=256, conservative=False)
     h_3lv = intersect_tfdm_v2(geom, oj, dj, full_pyramid=False,
-                              max_steps=256)
+                              max_steps=256, conservative=False)
     m_f = np.asarray(h_full.hit)
     m_3 = np.asarray(h_3lv.hit)
     # identical hit sets (full chain only refines WHERE space is skipped,
@@ -424,10 +472,13 @@ def test_tfdm_v2_three_level_descent():
 
     # legacy capped-chain mode: fine_size only matters there (the default
     # full_pyramid=True walks every level regardless)
+    # conservative=False: pins the OLD march's step economics (the
+    # conservative walk advances per-texel in both configs, erasing the
+    # fine_size contrast this test measures)
     h3 = intersect_tfdm_v2(geom, oj, dj, fine_size=256, max_steps=512,
-                           full_pyramid=False)
+                           full_pyramid=False, conservative=False)
     h2 = intersect_tfdm_v2(geom, oj, dj, fine_size=64, max_steps=512,
-                           full_pyramid=False)
+                           full_pyramid=False, conservative=False)
     assert np.array_equal(np.asarray(h3.hit), np.asarray(h2.hit))
     m = np.asarray(h2.hit)
     if m.any():
