@@ -348,8 +348,42 @@ def _measure(argv, emit=True):
     return mrays
 
 
+TECHNIQUES = ("restir", "restir_rearch", "regir", "svgf", "nrc")
+
+
+def _measure_technique(name, argv):
+    """Per-technique ms/frame (VERDICT r4 item #4): chained-frame timing on
+    the headline scene via perf/technique_bench.py. vs_baseline is the
+    fraction of 60 fps real-time (16.7 ms) the frame achieves — the
+    reference's apps are interactive on RTX hardware but publish no
+    numbers (BASELINE.md)."""
+    sys.path.insert(0, os.path.join(_REPO, "perf"))
+    import technique_bench
+
+    if "1080p" in argv:
+        w, h = 1920, 1080
+    else:
+        w, h = 512, 512
+    from gfxexp_tpu.utils.runtime import enable_compile_cache
+
+    enable_compile_cache()
+    row = technique_bench.BENCHES[name](w, h)
+    print(json.dumps({
+        "metric": f"{name}_ms_frame",
+        "value": row["ms_frame"],
+        "unit": "ms/frame",
+        "vs_baseline": round(16.7 / max(row["ms_frame"], 1e-9), 4),
+        "extra": {"resolution": row["resolution"],
+                  "passes_ms": row.get("passes_ms")},
+    }))
+
+
 def main():
     argv = sys.argv[1:]
+    for name in TECHNIQUES:
+        if name in argv:
+            _measure_technique(name, argv)
+            return
     # default run (no resolution/scene selector): measure BOTH the
     # r1-r3-comparable 512^2 config and the 1080p tiled config — the
     # BASELINE.json target metric is DEFINED at 1080p, so that is the
