@@ -175,7 +175,7 @@ def _measure(argv, emit=True):
     arity = 4
     rebraid = 0.0
     for a in argv:
-        if a in ("widerow", "qrow", "instanced", "instanced_qrow"):
+        if a in ("widerow", "qrow", "instanced"):
             fmt = a
         elif a == "a8":
             arity = 8

@@ -300,20 +300,18 @@ def build_qrow(p0, e1, e2, max_rows: int = MAX_ROWS_PER_CHUNK,
 
 
 def _make_kernel_q(n_rows_tab: int, stack_depth: int, any_hit: bool,
-                   rows: int, culled: bool = False, n_chunks: int = 0,
-                   instanced: bool = False):
+                   rows: int, culled: bool = False, n_chunks: int = 0):
+    # NOTE: the two-level (instanced) qrow variant was REMOVED in r5: it
+    # crashed the TPU worker with a data-dependent Mosaic fault and lost
+    # its A/B anyway (perf/RESULTS_r4.md:101-104). Instanced scenes use the
+    # f32 widerow tables (pallas_widestack/pallas_persistent_inst).
     K = _ARITY
 
     def kernel(*refs):
         work = cnt = work_near = None
         if culled:
             (work, cnt, work_near), refs = refs[:3], refs[3:]
-        if instanced:
-            (blas_ids, transforms, nodes, rays,
-             out_t, out_tri, out_u, out_v, out_it, out_inst) = refs
-        else:
-            nodes, rays, out_t, out_tri, out_u, out_v, out_it = refs
-            transforms = out_inst = None
+        nodes, rays, out_t, out_tri, out_u, out_v, out_it = refs
 
         if culled:
             chunk_id = work[pl.program_id(0) * n_chunks + pl.program_id(1)]
@@ -336,20 +334,6 @@ def _make_kernel_q(n_rows_tab: int, stack_depth: int, any_hit: bool,
             tmin = comp(6)
             tmax = comp(7)
 
-            if instanced:
-                # world ray -> object space; direction NOT renormalized so
-                # t stays in world units across instances (same convention
-                # as the widerow instanced kernel)
-                tbase = chunk_id * 16
-                m = [transforms[tbase + j] for j in range(12)]
-                ox2 = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
-                oy2 = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
-                oz2 = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
-                dx2 = m[0] * dx + m[1] * dy + m[2] * dz
-                dy2 = m[4] * dx + m[5] * dy + m[6] * dz
-                dz2 = m[8] * dx + m[9] * dy + m[10] * dz
-                ox, oy, oz, dx, dy, dz = ox2, oy2, oz2, dx2, dy2, dz2
-
             def safe_inv(v):
                 tiny = jnp.where(v < 0, -1e-12, 1e-12)
                 return 1.0 / jnp.where(jnp.abs(v) < 1e-12, tiny, v)
@@ -369,8 +353,6 @@ def _make_kernel_q(n_rows_tab: int, stack_depth: int, any_hit: bool,
                 jnp.where(first_chunk, 0.0, out_v[0]),
                 jnp.where(first_chunk, (tmax * 0.0).astype(jnp.int32),
                           out_it[0]),
-                jnp.where(first_chunk, ((tmax * 0.0).astype(jnp.int32) - 1),
-                          out_inst[0]) if instanced else
                 (tmax * 0.0).astype(jnp.int32),
             )
 
@@ -531,15 +513,9 @@ def _make_kernel_q(n_rows_tab: int, stack_depth: int, any_hit: bool,
                             best_t = jnp.where(ok, t, best_t)
                             best_u = jnp.where(ok, u, best_u)
                             best_v = jnp.where(ok, v, best_v)
-                            if instanced:
-                                best_inst = jnp.where(ok, chunk_id,
-                                                      best_inst)
                     if any_hit:
                         best_tri = jnp.where(row_any, fst, best_tri)
                         best_t = jnp.where(row_any, -1.0, best_t)
-                        if instanced:
-                            best_inst = jnp.where(row_any, chunk_id,
-                                                  best_inst)
                     return best_t, best_tri, best_u, best_v, best_inst
 
                 best_t, best_tri, best_u, best_v, best_inst = leaf_fn(
@@ -568,8 +544,6 @@ def _make_kernel_q(n_rows_tab: int, stack_depth: int, any_hit: bool,
             out_u[0] = best_u
             out_v[0] = best_v
             out_it[0] = iters
-            if instanced:
-                out_inst[0] = best_inst
 
         if culled:
             pl.when(step_valid | first_chunk)(step_body)
@@ -692,141 +666,3 @@ def intersect_any_qrow(bvh: QRowBVH, tris: TriangleSoA, o, d,
                        t_min=1e-4, t_max=1e30, rows: int = ROWS):
     return _traverse_qrow(bvh, tris, o, d, t_min, t_max, any_hit=True,
                           rows=rows).hit
-
-
-# ---------------------------------------------------------------------------
-# two-level (instanced) traversal over quantized BLAS tables
-# ---------------------------------------------------------------------------
-
-
-def build_instanced_q(blas_geoms, instances):
-    """Quantized-format counterpart of pallas_widestack.build_instanced:
-    per-BLAS [R, 32] tables shared by instances. Returns
-    (InstancedAccel with fmt="qrow", perms, dequantized (p0, e1, e2)
-    concatenated across BLAS in global-triangle order)."""
-    from gfxexp_tpu.accel.pallas_widestack import InstancedAccel
-
-    tabs, perms, dqs = [], [], []
-    blas_lo, blas_hi = [], []
-    off = 0
-    max_depth = 1
-    for (p0, e1, e2) in blas_geoms:
-        p0 = np.asarray(p0, np.float32)
-        e1 = np.asarray(e1, np.float32)
-        e2 = np.asarray(e2, np.float32)
-        bvh, perm = build_bvh(p0, e1, e2, arity=_ARITY, max_leaf=_MAX_LEAF)
-        tab, dq = _pack_one_q(bvh, p0[perm], e1[perm], e2[perm],
-                              tri_offset=off)
-        tabs.append(tab)
-        perms.append(perm)
-        dqs.append(dq)
-        off += p0.shape[0]
-        max_depth = max(max_depth, int(bvh.max_depth))
-        q0, q1, q2 = dq[0], dq[0] + dq[1], dq[0] + dq[2]
-        blas_lo.append(np.minimum(np.minimum(q0, q1), q2).min(axis=0))
-        blas_hi.append(np.maximum(np.maximum(q0, q1), q2).max(axis=0))
-    r_max = max(t.shape[0] for t in tabs)
-    stacked = np.zeros((len(tabs), r_max, _WIDTH), np.float32)
-    for b, t in enumerate(tabs):
-        stacked[b, :t.shape[0]] = t
-
-    order = np.argsort([b for b, _ in instances], kind="stable")
-    blas_ids = np.asarray([instances[i][0] for i in order], np.int32)
-    inv = np.zeros((len(instances), 16), np.float32)
-    chunk_lo = np.zeros((len(instances), 3), np.float32)
-    chunk_hi = np.zeros((len(instances), 3), np.float32)
-    for j, i in enumerate(order):
-        m = np.asarray(instances[i][1], np.float64).reshape(3, 4)
-        r_inv = np.linalg.inv(m[:, :3])
-        t_inv = -r_inv @ m[:, 3]
-        inv[j, 0:12] = np.concatenate(
-            [np.concatenate([r_inv[k], [t_inv[k]]]) for k in range(3)])
-        b = instances[i][0]
-        c = 0.5 * (blas_lo[b] + blas_hi[b])
-        e = 0.5 * (blas_hi[b] - blas_lo[b])
-        wc = m[:, :3] @ c + m[:, 3]
-        we = np.abs(m[:, :3]) @ e
-        chunk_lo[j] = wc - we
-        chunk_hi[j] = wc + we
-    acc = InstancedAccel(
-        nodes=jnp.asarray(stacked),
-        blas_ids=jnp.asarray(blas_ids),
-        inv_transforms=jnp.asarray(inv),
-        inst_of_chunk=jnp.asarray(order.astype(np.int32)),
-        arity=_ARITY, width=_WIDTH, max_leaf=_MAX_LEAF, max_depth=max_depth,
-        chunk_lo=jnp.asarray(chunk_lo), chunk_hi=jnp.asarray(chunk_hi),
-        blas_lo=jnp.asarray(np.stack(blas_lo).astype(np.float32)),
-        blas_hi=jnp.asarray(np.stack(blas_hi).astype(np.float32)),
-    )
-    dq = tuple(np.concatenate([d[i] for d in dqs]) for i in range(3))
-    return acc, perms, dq
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_rows_tab", "stack_depth", "any_hit", "rows"))
-def _run_instanced_q(nodes, blas_ids, transforms, rays, n_rows_tab,
-                     stack_depth, any_hit, rows, chunk_lo=None,
-                     chunk_hi=None):
-    g = rays.shape[0]
-    n_inst = blas_ids.shape[0]
-    tile = rows * _LANE
-    culled = chunk_lo is not None and n_inst > 1
-    kernel = _make_kernel_q(n_rows_tab, stack_depth, any_hit, rows,
-                            culled=culled, n_chunks=n_inst, instanced=True)
-    out_shape = [
-        jax.ShapeDtypeStruct((g, rows, _LANE), jnp.float32),
-        jax.ShapeDtypeStruct((g, rows, _LANE), jnp.int32),
-        jax.ShapeDtypeStruct((g, rows, _LANE), jnp.float32),
-        jax.ShapeDtypeStruct((g, rows, _LANE), jnp.float32),
-        jax.ShapeDtypeStruct((g, rows, _LANE), jnp.int32),  # iterations
-        jax.ShapeDtypeStruct((g, rows, _LANE), jnp.int32),  # instance
-    ]
-    if culled:
-        work, cnt, work_near = _cull_worklists(chunk_lo, chunk_hi, rays,
-                                               g, rows)
-        out_block = pl.BlockSpec((1, rows, _LANE),
-                                 lambda i, c, w, n, wn, b, tf: (i, 0, 0),
-                                 memory_space=pltpu.VMEM)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,  # work, cnt, near, blas_ids, transforms
-            grid=(g, n_inst),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, n_rows_tab, _WIDTH),
-                    lambda i, c, w, n, wn, b, tf:
-                    (b[w[i * n_inst + c]], 0, 0),
-                    memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 8, tile),
-                             lambda i, c, w, n, wn, b, tf: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[out_block] * 6,
-        )
-        return pl.pallas_call(
-            kernel,
-            out_shape=out_shape,
-            grid_spec=grid_spec,
-            interpret=jax.default_backend() != "tpu",
-        )(work, cnt, work_near, blas_ids, transforms.reshape(-1),
-          nodes, rays)
-    out_block = pl.BlockSpec((1, rows, _LANE), lambda i, c, b, tf: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(g, n_inst),
-        in_specs=[
-            pl.BlockSpec((1, n_rows_tab, _WIDTH),
-                         lambda i, c, b, tf: (b[c], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, tile), lambda i, c, b, tf: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[out_block] * 6,
-    )
-    return pl.pallas_call(
-        kernel,
-        out_shape=out_shape,
-        grid_spec=grid_spec,
-        interpret=jax.default_backend() != "tpu",
-    )(blas_ids, transforms.reshape(-1), nodes, rays)

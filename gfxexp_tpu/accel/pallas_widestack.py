@@ -1148,27 +1148,17 @@ def _traverse_instanced(acc: InstancedAccel, o, d, t_min, t_max,
     )
     rays = comps.reshape(8, g, tile).transpose(1, 0, 2)
 
-    if acc.width == 32:  # quantized BLAS tables (pallas_qrow format)
-        from gfxexp_tpu.accel.pallas_qrow import _run_instanced_q
-
-        best_t, best_tri, best_u, best_v, _, best_chunk = _run_instanced_q(
-            acc.nodes, acc.blas_ids, acc.inv_transforms, rays,
-            n_rows_tab=acc.nodes.shape[1],
-            stack_depth=int(acc.max_depth + 2) * 7, any_hit=any_hit,
-            rows=rows,
-            chunk_lo=getattr(acc, "chunk_lo", None),
-            chunk_hi=getattr(acc, "chunk_hi", None),
-        )
-    else:
-        best_t, best_tri, best_u, best_v, _, best_chunk = _run_instanced(
-            acc.nodes, acc.blas_ids, acc.inv_transforms, rays,
-            n_rows_tab=acc.nodes.shape[1], arity=acc.arity, width=acc.width,
-            max_leaf=acc.max_leaf, stack_depth=stack_depth, any_hit=any_hit,
-            rows=rows,
-            chunk_lo=getattr(acc, "chunk_lo", None),
-            chunk_hi=getattr(acc, "chunk_hi", None),
-            start_rows=getattr(acc, "start_rows", None),
-        )
+    # (the quantized instanced variant was removed in r5 — it crashed the
+    # TPU worker and lost its A/B; perf/RESULTS_r4.md:101-104)
+    best_t, best_tri, best_u, best_v, _, best_chunk = _run_instanced(
+        acc.nodes, acc.blas_ids, acc.inv_transforms, rays,
+        n_rows_tab=acc.nodes.shape[1], arity=acc.arity, width=acc.width,
+        max_leaf=acc.max_leaf, stack_depth=stack_depth, any_hit=any_hit,
+        rows=rows,
+        chunk_lo=getattr(acc, "chunk_lo", None),
+        chunk_hi=getattr(acc, "chunk_hi", None),
+        start_rows=getattr(acc, "start_rows", None),
+    )
     flat = lambda x: x.reshape(n_pad)[:n_rays]
     best_tri = flat(best_tri)
     best_chunk = flat(best_chunk)

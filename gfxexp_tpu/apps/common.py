@@ -45,8 +45,7 @@ def make_arg_parser(name: str) -> argparse.ArgumentParser:
                         "streaming stand-in for the reference's GLFW/ImGui "
                         "window; default port 8716)")
     p.add_argument("-traversal", type=str, default=None,
-                   choices=["skip", "widerow", "qrow", "instanced",
-                            "instanced_qrow"],
+                   choices=["skip", "widerow", "qrow", "instanced"],
                    help="acceleration-structure format (default: widerow "
                         "for static scenes, skip for animated)")
     p.add_argument("-spatial-splits", action="store_true",

@@ -582,11 +582,16 @@ class SceneBuilder:
         positions to global BLAS triangle ids. N instances of a group share
         one triangle table — memory no longer scales with instance count.
 
-        node_format="qrow" builds QUANTIZED per-BLAS tables
-        (accel/pallas_qrow.py — 128 B rows, ~2.5x more triangles resident
-        per instance visit); the object-space triangle arrays are then the
-        DEQUANTIZED vertices so shading matches the traced geometry."""
+        node_format must be "widerow": the quantized ("qrow") instanced
+        variant was removed in r5 (TPU-worker Mosaic crash + lost its A/B,
+        perf/RESULTS_r4.md:101-104)."""
         from gfxexp_tpu.accel.pallas_widestack import build_instanced
+
+        if node_format != "widerow":
+            raise ValueError(
+                f"unsupported instanced node_format {node_format!r}; the "
+                "qrow instanced variant was removed in r5 "
+                "(perf/RESULTS_r4.md)")
 
         if not self.instances:
             raise ValueError("scene has no instances")
@@ -638,25 +643,11 @@ class SceneBuilder:
             cursor += local
 
         # ---- build BLAS BVHs (permutes each blas's triangles) ----
-        dq = None
-        if node_format == "qrow":
-            from gfxexp_tpu.accel.pallas_qrow import build_instanced_q
-
-            if rebraid and rebraid > 1:
-                raise ValueError(
-                    "rebraiding is not implemented for the qrow instanced "
-                    "format yet; use node_format='widerow' (no silent "
-                    "fallback)")
-            acc, perms, dq = build_instanced_q(
-                [(b[0]["p0"], b[0]["e1"], b[0]["e2"]) for b in blas_raw],
-                [(inst_blas[i], self.instances[i].transform)
-                 for i in range(len(self.instances))])
-        else:
-            acc, perms = build_instanced(
-                [(b[0]["p0"], b[0]["e1"], b[0]["e2"]) for b in blas_raw],
-                [(inst_blas[i], self.instances[i].transform)
-                 for i in range(len(self.instances))],
-                arity=arity, max_leaf=max_leaf, rebraid=rebraid)
+        acc, perms = build_instanced(
+            [(b[0]["p0"], b[0]["e1"], b[0]["e2"]) for b in blas_raw],
+            [(inst_blas[i], self.instances[i].transform)
+             for i in range(len(self.instances))],
+            arity=arity, max_leaf=max_leaf, rebraid=rebraid)
         # apply per-blas permutations; track old->new local index for the
         # light-order mapping (light order stays GEOMETRY order)
         blas_cat = {k: [] for k in blas_raw[0][0]}
@@ -671,10 +662,6 @@ class SceneBuilder:
         triangles = TriangleSoA(
             **{("unit_id" if k == "unit" else k):
                np.concatenate(blas_cat[k]) for k in blas_cat})
-        if dq is not None:
-            # shading must see the dequantized vertices the kernel traces
-            triangles = triangles.replace(p0=dq[0], e1=dq[1], e2=dq[2])
-
         # ---- units: instance-major, group order ----
         unit_material, unit_instance = [], []
         unit_tri_offset, unit_tri_count, unit_tri_base = [], [], []

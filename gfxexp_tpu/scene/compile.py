@@ -65,14 +65,11 @@ def compile_scene(
     bvh_builder.cpp:313): straddling triangles are clipped into multiple
     leaves; the permuted triangle arrays then carry duplicates (hits may
     report either copy — identical shading attributes)."""
-    if traversal in ("instanced", "instanced_qrow"):
+    if traversal == "instanced":
         # two-level BLAS/instance mode (GAS/IAS analogue): the builder
-        # produces object-space shared tables + the InstancedAccel
-        # directly; "instanced_qrow" uses quantized 128-byte BLAS rows
+        # produces object-space shared tables + the InstancedAccel directly
         return builder.compile_instanced(
-            arity=arity, max_leaf=max_leaf,
-            node_format="qrow" if traversal == "instanced_qrow"
-            else "widerow", rebraid=rebraid)
+            arity=arity, max_leaf=max_leaf, rebraid=rebraid)
     scene = builder.compile(
         use_probability_texture=use_probability_texture)
     if traversal == "widerow":

@@ -20,7 +20,6 @@ run headline_batch python bench.py batched
 run passes        python perf/pass_breakdown.py
 run qrow_ab       python perf/qrow_ab.py
 run big           python bench.py big
-run big_qrow      python bench.py big instanced_qrow
 run big_fused     python bench.py big fused
 run big_rebraid   python bench.py big rebraid4
 run city          python bench.py city

@@ -93,7 +93,7 @@ def main():
     big = "big" in sys.argv[1:]
     fmt = None
     for a in sys.argv[1:]:
-        if a in ("widerow", "qrow", "instanced", "instanced_qrow"):
+        if a in ("widerow", "qrow", "instanced"):
             fmt = a
     scene, bvh = bench.build_bench_scene(big=big, fmt=fmt)
     scene = jax.tree_util.tree_map(jnp.asarray, scene)

@@ -619,83 +619,24 @@ def test_qrow_render_matches_widerow():
         np.abs(a - b).mean() / denom
 
 
-def test_qrow_instanced_matches_bruteforce(rng_np):
-    """Two-level traversal over QUANTIZED BLAS tables: world-space hits
-    agree with brute force over the instanced (dequantized) triangles."""
-    from gfxexp_tpu.accel.pallas_qrow import build_instanced_q
-    from gfxexp_tpu.accel.pallas_widestack import (
-        intersect_any_instanced,
-        intersect_closest_instanced,
-    )
+def test_instanced_qrow_removed():
+    """The quantized instanced variant was removed in r5 (TPU-worker Mosaic
+    crash, perf/RESULTS_r4.md:101-104): requesting it must raise, not
+    silently fall back."""
+    import pytest
 
-    p0a, p1a, p2a = _random_tri_soup(rng_np, 60, spread=0.6)
-    p0b, p1b, p2b = _random_tri_soup(rng_np, 40, spread=0.5)
-    instances = []
-    rots = []
-    for gi in range(5):
-        ang = gi * 0.7
-        c, s = np.cos(ang), np.sin(ang)
-        rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float64)
-        m = np.concatenate(
-            [rot * (0.8 + 0.1 * gi),
-             np.array([[gi * 1.6 - 3.0], [0.2 * gi], [0.0]])], axis=1)
-        instances.append((gi % 2, m.astype(np.float32)))
-        rots.append(m)
-    acc, perms, (dq0, dqe1, dqe2) = build_instanced_q(
-        [(p0a, p1a - p0a, p2a - p1a * 0 - p0a),
-         (p0b, p1b - p0b, p2b - p0b)],
-        instances)
-    assert acc.width == 32
+    from gfxexp_tpu.scene.builder import SceneBuilder
 
-    # world-space brute-force soup: every instance's transformed tris
-    w0, w1, w2, keys = [], [], [], []
-    base = [0, len(p0a)]
-    for j in range(len(instances)):
-        bid = int(np.asarray(acc.blas_ids)[j])
-        # chunk j corresponds to sorted-instance j; original instance:
-        oi = int(np.asarray(acc.inst_of_chunk)[j])
-        m = np.asarray(rots[oi], np.float64)
-        sel = slice(base[bid], base[bid] + (len(p0a) if bid == 0
-                                            else len(p0b)))
-        q0 = dq0[sel] @ m[:, :3].T + m[:, 3]
-        q1 = (dq0[sel] + dqe1[sel]) @ m[:, :3].T + m[:, 3]
-        q2 = (dq0[sel] + dqe2[sel]) @ m[:, :3].T + m[:, 3]
-        w0.append(q0)
-        w1.append(q1)
-        w2.append(q2)
-        keys.append(np.stack([np.full(q0.shape[0], oi),
-                              np.arange(sel.start, sel.stop)], 1))
-    w0 = np.concatenate(w0).astype(np.float32)
-    w1 = np.concatenate(w1).astype(np.float32)
-    w2 = np.concatenate(w2).astype(np.float32)
-    keys = np.concatenate(keys)
-
-    n_rays = 400
-    o = rng_np.uniform(-5, 5, size=(n_rays, 3)).astype(np.float32)
-    d = rng_np.normal(size=(n_rays, 3)).astype(np.float32)
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    oj, dj = jnp.asarray(o), jnp.asarray(d)
-
-    soa_w = _make_soa(w0, w1, w2)
-    brute = intersect_closest_brute(soa_w, oj, dj)
-    hit, inst = intersect_closest_instanced(acc, oj, dj)
-    m_b = np.asarray(brute.hit)
-    assert np.array_equal(np.asarray(hit.hit), m_b)
-    assert np.allclose(np.asarray(hit.t)[m_b], np.asarray(brute.t)[m_b],
-                       rtol=2e-4, atol=1e-5)
-    # instance + global tri id agreement via the brute-force key table
-    bk = keys[np.asarray(brute.tri)[m_b]]
-    assert np.array_equal(np.asarray(inst)[m_b], bk[:, 0])
-    assert np.array_equal(np.asarray(hit.tri)[m_b], bk[:, 1])
-
-    occ = intersect_any_instanced(acc, oj, dj)
-    assert np.array_equal(np.asarray(occ), m_b)
+    b = SceneBuilder()
+    m = b.add_lambert_material((0.5, 0.5, 0.5))
+    b.add_instance(b.add_rectangle(1.0, 1.0, m))
+    with pytest.raises(ValueError, match="qrow"):
+        b.compile_instanced(node_format="qrow")
 
 
-def test_instanced_qrow_render_matches_widerow():
-    """Full pipeline through quantized instanced BLAS tables: the
-    instanced_qrow render matches the instanced (f32) render of the same
-    scene to quantization + MC tolerance."""
+def test_instanced_render_full_pipeline():
+    """Full pipeline through instanced BLAS tables renders finite,
+    non-trivial images (formerly the qrow-vs-widerow A/B)."""
     import sys
 
     sys.path.insert(0, "tests")
@@ -722,20 +663,15 @@ def test_instanced_qrow_render_matches_widerow():
 
     cam = make_camera([0.0, 1.4, 2.2], fov_y=np.deg2rad(45), aspect=1.0,
                       target=[0, 0.1, 0])
-    imgs = []
-    for traversal in ("instanced", "instanced_qrow"):
-        scene, acc = compile_scene(build(), traversal=traversal)
-        out = np.zeros((40 * 40, 3), np.float64)
-        for s in range(4):
-            out += np.asarray(render_sample(
-                scene, acc, cam, 40, 40, jnp.uint32(s),
-                PTConfig(max_path_length=3)))
-        imgs.append(out / 4)
-    a, b = imgs
-    assert np.isfinite(b).all()
-    denom = np.abs(a).mean() + 1e-6
-    assert np.abs(a - b).mean() / denom < 0.02, \
-        np.abs(a - b).mean() / denom
+    scene, acc = compile_scene(build(), traversal="instanced")
+    out = np.zeros((40 * 40, 3), np.float64)
+    for s in range(4):
+        out += np.asarray(render_sample(
+            scene, acc, cam, 40, 40, jnp.uint32(s),
+            PTConfig(max_path_length=3)))
+    out /= 4
+    assert np.isfinite(out).all()
+    assert out.mean() > 1e-3  # lit scene, not black
 
 
 def test_native_sbvh_matches_numpy(rng_np):
