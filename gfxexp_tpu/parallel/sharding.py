@@ -108,11 +108,23 @@ def svgf_frame_sharded(mesh: Mesh, state, gb, lighting, cfg=None):
     5-stage filter pyramid is the HBM-bandwidth hot loop worth sharding.
     Bit-parity with techniques.svgf.svgf_frame is tested on the 8-device
     CPU mesh (tests/test_parallel.py)."""
-    from gfxexp_tpu.techniques.svgf import (
-        SVGFConfig, _depth_gradients, svgf_frame)
+    from gfxexp_tpu.techniques.svgf import SVGFConfig, svgf_frame
 
     if cfg is None:
         cfg = SVGFConfig()
+
+    # all pre/post logic (temporal accumulate, demodulation, feedback
+    # selection, TAA, state construction) is svgf_frame's — only the
+    # à-trous pyramid driver is substituted, so the two paths cannot drift.
+    # The pyramid closure is cached by mesh: pyramid_fn is a STATIC jit
+    # argument of svgf_frame, so a fresh closure per call would retrace.
+    return svgf_frame(state, gb, lighting, cfg,
+                      pyramid_fn=_sharded_pyramid_fn(mesh))
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_pyramid_fn(mesh: Mesh):
+    from gfxexp_tpu.techniques.svgf import _depth_gradients
 
     def pyramid(noisy, variance, gb_, cfg_):
         dzdx, dzdy = _depth_gradients(jnp.where(gb_.hit, gb_.depth, jnp.inf))
@@ -121,10 +133,7 @@ def svgf_frame_sharded(mesh: Mesh, state, gb, lighting, cfg=None):
         return fn(noisy, variance, gb_.depth, gb_.normal, gb_.hit,
                   dzdx, dzdy)
 
-    # all pre/post logic (temporal accumulate, demodulation, feedback
-    # selection, TAA, state construction) is svgf_frame's — only the
-    # à-trous pyramid driver is substituted, so the two paths cannot drift
-    return svgf_frame(state, gb, lighting, cfg, pyramid_fn=pyramid)
+    return pyramid
 
 
 @functools.lru_cache(maxsize=16)

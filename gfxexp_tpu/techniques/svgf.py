@@ -406,6 +406,7 @@ def _atrous_pyramid(noisy, variance, gb: GBuffer, cfg: SVGFConfig):
     return color, first_filtered
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "pyramid_fn"))
 def svgf_frame(
     state: SVGFState,
     gb: GBuffer,
@@ -422,7 +423,10 @@ def svgf_frame(
     overrides the à-trous pyramid driver only (the multi-chip path in
     parallel/sharding.py substitutes a halo-exchange sharded pyramid; the
     temporal/demodulate/TAA pre/post logic is shared here so the two paths
-    cannot drift)."""
+    cannot drift). It is a STATIC argument: pass a module-level (stable-
+    identity) callable or retrace on every call. The whole frame is one jit
+    program — eager per-op dispatch through the remote tunnel measured
+    ~2 s/frame at 512² before this wrapper (perf/RESULTS_r5.md)."""
     hit = gb.hit
     dem = demodulate_albedo(lighting, gb.albedo)
 
