@@ -110,6 +110,30 @@ def _query_ref_factor(query):
     return query[..., 8:11] + query[..., 11:14]
 
 
+def propagate_targets(t_target, t_thru, t_valid, suffix_pred,
+                      suffix_has_query):
+    """Backward radiance propagation along training suffixes
+    (reference nrc_setup_kernels.cu propagateRadianceValues:94): each
+    vertex's target = its direct (NEE + implicit) radiance plus its local
+    throughput times the NEXT vertex's propagated target; the chain is
+    seeded by the cache prediction at the suffix terminal (zero when the
+    suffix never terminated into the cache — unbiased tiles).
+
+    t_target/t_thru: [n_train, L, 3]; t_valid: [n_train, L] (True where a
+    vertex was recorded); suffix_pred: [n_train, 3]; suffix_has_query:
+    [n_train]. Returns propagated targets [n_train, L, 3]."""
+    L = t_target.shape[1]
+    carry = jnp.where(suffix_has_query[:, None], suffix_pred, 0.0)
+    targets = t_target
+    for depth in range(L - 1, -1, -1):
+        valid_d = t_valid[:, depth]
+        new_carry = targets[:, depth] + t_thru[:, depth] * carry
+        carry = jnp.where(valid_d[:, None], new_carry, carry)
+        targets = targets.at[:, depth].set(
+            jnp.where(valid_d[:, None], new_carry, targets[:, depth]))
+    return targets
+
+
 @functools.partial(
     jax.jit, static_argnames=("width", "height", "cfg", "nrc_cfg"))
 def render_sample_nrc(
@@ -340,14 +364,8 @@ def render_sample_nrc(
         render_ended[:, None], render_alpha * render_pred, 0.0)
 
     # ---- propagate targets backward along training suffixes -------------
-    carry = jnp.where(suffix_has_query[:, None], suffix_pred, 0.0)
-    targets = t_target
-    for depth in range(cfg.max_path_length - 1, -1, -1):
-        valid_d = t_valid[:, depth]
-        new_carry = targets[:, depth] + t_thru[:, depth] * carry
-        carry = jnp.where(valid_d[:, None], new_carry, carry)
-        targets = targets.at[:, depth].set(
-            jnp.where(valid_d[:, None], new_carry, targets[:, depth]))
+    targets = propagate_targets(t_target, t_thru, t_valid, suffix_pred,
+                                suffix_has_query)
 
     if cfg.use_reflectance_factorization:
         rf = _query_ref_factor(tq)

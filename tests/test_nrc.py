@@ -99,3 +99,124 @@ def test_nrc_render_calibration():
     assert np.isfinite(got)
     rel = abs(got - ref) / ref
     assert rel < 0.25, (got, ref)
+
+
+def test_propagate_targets_backward_chain():
+    """Direct unit test of backward suffix propagation (reference
+    nrc_setup_kernels.cu propagateRadianceValues:94): target[d] =
+    direct[d] + thru[d] * target[d+1], seeded by the suffix-terminal cache
+    prediction; rows without a suffix query seed with zero; invalid depths
+    pass the carry through untouched."""
+    from gfxexp_tpu.techniques.nrc.cache import propagate_targets
+
+    L = 3
+    direct = jnp.asarray([
+        # row 0: full 3-vertex suffix
+        [[1.0, 0, 0], [0.5, 0, 0], [0.25, 0, 0]],
+        # row 1: only depth 0 valid
+        [[2.0, 0, 0], [9.0, 0, 0], [9.0, 0, 0]],
+        # row 2: depth 1 invalid (gap) — carry must skip it
+        [[1.0, 0, 0], [9.0, 0, 0], [3.0, 0, 0]],
+    ], jnp.float32)
+    thru = jnp.full((3, L, 3), 0.5, jnp.float32)
+    valid = jnp.asarray([
+        [True, True, True],
+        [True, False, False],
+        [True, False, True],
+    ])
+    suffix_pred = jnp.asarray([[8.0, 0, 0], [8.0, 0, 0], [0.0, 0, 0]],
+                              jnp.float32)
+    has_query = jnp.asarray([True, False, False])
+
+    out = np.asarray(propagate_targets(direct, thru, valid, suffix_pred,
+                                       has_query))
+    # row 0: d2 = 0.25 + 0.5*8 = 4.25; d1 = 0.5 + 0.5*4.25 = 2.625;
+    #        d0 = 1 + 0.5*2.625 = 2.3125
+    assert np.allclose(out[0, :, 0], [2.3125, 2.625, 4.25])
+    # row 1: no suffix query -> seed 0; d0 = 2 + 0.5*0 = 2; invalid depths
+    # keep their (garbage) inputs untouched
+    assert out[1, 0, 0] == 2.0 and out[1, 1, 0] == 9.0
+    # row 2: d2 = 3 + 0 = 3; depth 1 invalid (carry passes through);
+    #        d0 = 1 + 0.5*3 = 2.5
+    assert np.allclose([out[2, 0, 0], out[2, 2, 0]], [2.5, 3.0])
+    assert out[2, 1, 0] == 9.0
+
+
+def test_unbiased_tiles_ignore_cache(monkeypatch):
+    """unbiased_fraction=1 makes EVERY training path unbiased (reference
+    nrc_shared.h numTrainingDataPerFrame / unbiased tile selection,
+    neural_radiance_caching_shared.h:110-130): no suffix ever terminates
+    into the cache, so training TARGETS must be independent of the network
+    parameters. With the default biased fraction they must depend on them.
+    PATH_TERMINATION_FACTOR is forced to 0 so cache/suffix terminals fire
+    deterministically on every bounce>1 (the configs below use otherwise
+    untraced static shapes, so the patched constant is baked into fresh
+    traces)."""
+    import gfxexp_tpu.techniques.nrc.cache as cache_mod
+
+    monkeypatch.setattr(cache_mod, "PATH_TERMINATION_FACTOR", 0.0)
+    scene, bvh = compile_scene(box_scene())
+    W = H = 32
+    cam = make_camera([0.0, 0.5, 1.9], fov_y=np.deg2rad(75), aspect=1.0,
+                      target=[0, 0.3, -1.0])
+    nrc_cfg = NRCConfig()
+    lo, hi = scene_aabb(scene)
+    p_a = init_nrc(jax.random.PRNGKey(0), nrc_cfg)["ema"]
+    p_b = jax.tree_util.tree_map(lambda x: x * 3.0 + 0.1,
+                                 init_nrc(jax.random.PRNGKey(7), nrc_cfg)["ema"])
+
+    def targets(params, uf):
+        icfg = NRCIntegratorConfig(max_path_length=4, train_stride=8,
+                                   unbiased_fraction=uf)
+        _, tq, tt, tm = render_sample_nrc(
+            scene, bvh, cam, params, lo, hi, W, H, jnp.uint32(3), icfg,
+            nrc_cfg)
+        return np.asarray(tt), np.asarray(tm)
+
+    ta, ma = targets(p_a, 1)
+    tb, mb = targets(p_b, 1)
+    assert (ma == mb).all()
+    assert np.allclose(ta[ma], tb[mb]), "unbiased targets leaked cache reads"
+
+    ta16, ma16 = targets(p_a, 16)
+    tb16, _ = targets(p_b, 16)
+    assert ma16.any()
+    assert not np.allclose(ta16[ma16], tb16[ma16]), (
+        "biased tiles should read the cache at suffix terminals")
+
+
+def test_training_lane_rotation():
+    """The training lane inside each stride-tile rotates with sample_idx
+    (reference nrc_setup_kernels.cu:6 + shared.h tile shuffling): queries
+    recorded for the same train slot at consecutive samples come from
+    different pixels."""
+    scene, bvh = compile_scene(box_scene())
+    W = H = 32
+    cam = make_camera([0.0, 0.5, 1.9], fov_y=np.deg2rad(75), aspect=1.0,
+                      target=[0, 0.3, -1.0])
+    nrc_cfg = NRCConfig()
+    icfg = NRCIntegratorConfig(max_path_length=2, train_stride=8,
+                               enable_jitter=False)
+    lo, hi = scene_aabb(scene)
+    params = init_nrc(jax.random.PRNGKey(0), nrc_cfg)["ema"]
+
+    def queries(f):
+        _, tq, _, tm = render_sample_nrc(
+            scene, bvh, cam, params, lo, hi, W, H, jnp.uint32(f), icfg,
+            nrc_cfg)
+        return np.asarray(tq), np.asarray(tm)
+
+    q0, m0 = queries(0)
+    q1, m1 = queries(1)
+    both = m0 & m1
+    assert both.any()
+    # positions (first 3 query dims) must differ for rotated lanes
+    assert not np.allclose(q0[both, :3], q1[both, :3]), (
+        "training lane did not rotate with sample index")
+    # and the full stride cycle returns to the same lane (same pixel ray)
+    q8, m8 = queries(8)
+    # off_b also moved, but the recorded QUERY positions (which depend only
+    # on the pixel/lane rotation off_a) must match at f=0 vs f=8
+    both08 = m0 & m8
+    assert both08.any()
+    assert np.allclose(q0[both08, :3], q8[both08, :3], atol=1e-6)
