@@ -38,7 +38,7 @@ def main(argv=None):
     from gfxexp_tpu.render.film import add_sample, make_film
     from gfxexp_tpu.scene.animation import advance_frame
     from gfxexp_tpu.scene.compile import compile_scene
-    from gfxexp_tpu.techniques.nrc import NRCConfig, init_nrc, train_step
+    from gfxexp_tpu.techniques.nrc import NRCConfig, init_nrc, train_on_frame
     from gfxexp_tpu.techniques.nrc.cache import (
         NRCIntegratorConfig,
         render_sample_nrc,
@@ -84,9 +84,9 @@ def main(argv=None):
             "pathTrace+infer", render_sample_nrc, scene, bvh, camera,
             state["ema"], lo, hi, args.width, args.height, jnp.uint32(f),
             icfg, nrc_cfg)
-        for _ in range(args.train_steps):
-            state, loss = timer.measure(
-                "train", train_step, state, tq, tt, tm, nrc_cfg)
+        state, loss = timer.measure(
+            "train", train_on_frame, state, tq, tt, tm,
+            jax.random.PRNGKey(f), nrc_cfg, args.train_steps)
         film = add_sample(film, radiance.reshape(args.height, args.width, 3))
         if denoiser is not None:
             denoised = denoiser.step(scene, bvh, camera, f, film.beauty,

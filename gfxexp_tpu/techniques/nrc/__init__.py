@@ -3,5 +3,6 @@ from gfxexp_tpu.techniques.nrc.network import (  # noqa: F401
     NRCState,
     infer,
     init_nrc,
+    train_on_frame,
     train_step,
 )

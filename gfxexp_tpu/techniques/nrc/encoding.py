@@ -59,32 +59,39 @@ def init_hash_table(key, n_levels: int = HASH_LEVELS,
 
 def hash_grid_encoding(table, p):
     """Multiresolution hash encoding (Muller et al. 2022) of positions
-    p [..., 3] in [0,1]. Returns [..., L*F]."""
+    p [..., 3] in [0,1]. Returns [..., L*F].
+
+    Vectorized over levels AND corners into ONE gather from the flattened
+    [L*T, F] table (r5): the original per-level/per-corner loop emitted
+    16 x 8 = 128 separate gathers forward and 128 scatter-adds backward —
+    the measured NRC train_step bottleneck on TPU (perf/RESULTS_r5.md).
+    One gather / one fused scatter-add over [B, L*8] indices is the
+    XLA-friendly shape; the math (hash, weights, level output order) is
+    bit-identical (tests/test_nrc.py parity vs the naive loop)."""
     n_levels, t_size, n_feat = table.shape
-    outs = []
-    for level in range(n_levels):
-        res = int(np.floor(HASH_BASE_RES * HASH_PER_LEVEL_SCALE**level))
-        pf = p * res
-        p0 = jnp.floor(pf).astype(jnp.int32)
-        fw = pf - p0
-        feat = 0.0
-        for corner in range(8):
-            off = jnp.asarray(
-                [(corner >> 0) & 1, (corner >> 1) & 1, (corner >> 2) & 1],
-                jnp.int32,
-            )
-            c = (p0 + off).astype(jnp.uint32)
-            # spatial hash (dense indexing would also fit for small res, but
-            # hashing everywhere matches tcnn behavior closely enough)
-            h = (
-                c[..., 0] * jnp.uint32(_PRIMES[0])
-                ^ c[..., 1] * jnp.uint32(_PRIMES[1] & 0xFFFFFFFF)
-                ^ c[..., 2] * jnp.uint32(_PRIMES[2])
-            ) & jnp.uint32(t_size - 1)
-            h = h.astype(jnp.int32)
-            w = jnp.prod(
-                jnp.where(off[None, :] == 1, fw, 1.0 - fw), axis=-1
-            )
-            feat = feat + w[..., None] * table[level, h]
-        outs.append(feat)
-    return jnp.concatenate(outs, axis=-1)
+    batch = p.shape[:-1]
+    res = jnp.asarray(
+        [float(int(np.floor(HASH_BASE_RES * HASH_PER_LEVEL_SCALE**level)))
+         for level in range(n_levels)], p.dtype)
+    pf = p[..., None, :] * res[:, None]            # [..., L, 3]
+    p0 = jnp.floor(pf).astype(jnp.int32)
+    fw = pf - p0
+    offs = jnp.asarray(
+        [[(c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1] for c in range(8)],
+        jnp.int32)                                 # [8, 3]
+    c = (p0[..., None, :] + offs).astype(jnp.uint32)  # [..., L, 8, 3]
+    # spatial hash (dense indexing would also fit for small res, but
+    # hashing everywhere matches tcnn behavior closely enough)
+    h = (
+        c[..., 0] * jnp.uint32(_PRIMES[0])
+        ^ c[..., 1] * jnp.uint32(_PRIMES[1] & 0xFFFFFFFF)
+        ^ c[..., 2] * jnp.uint32(_PRIMES[2])
+    ) & jnp.uint32(t_size - 1)                     # [..., L, 8]
+    idx = h.astype(jnp.int32) + (
+        jnp.arange(n_levels, dtype=jnp.int32)[:, None] * t_size)
+    w = jnp.prod(
+        jnp.where(offs == 1, fw[..., None, :], 1.0 - fw[..., None, :]),
+        axis=-1)                                   # [..., L, 8]
+    feat = table.reshape(n_levels * t_size, n_feat)[idx]  # ONE gather
+    out = jnp.sum(w[..., None] * feat, axis=-2)    # [..., L, F]
+    return out.reshape(batch + (n_levels * n_feat,))

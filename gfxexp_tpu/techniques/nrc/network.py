@@ -172,3 +172,29 @@ def train_step(state: NRCState, query, target, mask,
         "opt": new_opt,
         "step": state["step"] + 1,
     }, loss
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "steps"),
+                   donate_argnames=("state",))
+def train_on_frame(state: NRCState, query, target, mask, key,
+                   cfg: NRCConfig = NRCConfig(), steps: int = 4):
+    """One frame's training: `steps` Adam steps on DISJOINT shuffled
+    slices of the frame's records — the reference's exact loop
+    (neural_radiance_caching_main.cpp:2350: batchSize =
+    numTrainingDataPerFrame / 4, dataStartIndex advances per step, after
+    the dataShufflerBuffer permutation). The r4 app trained `steps` times
+    on the FULL batch — 4x the sample work and off-spec semantics.
+
+    One jitted program: permutation + lax.scan over the mini-batches.
+    Returns (new_state, mean step loss)."""
+    n = query.shape[0]
+    m = (n // steps) * steps
+    perm = jax.random.permutation(key, n)[:m].reshape(steps, m // steps)
+
+    def body(st, idx):
+        st, loss = train_step.__wrapped__(
+            st, query[idx], target[idx], mask[idx], cfg)
+        return st, loss
+
+    state, losses = jax.lax.scan(body, state, perm)
+    return state, jnp.mean(losses)

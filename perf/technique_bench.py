@@ -281,7 +281,8 @@ def bench_nrc(width, height, frames=TIMED_FRAMES, train_steps=4):
     import jax
     import jax.numpy as jnp
 
-    from gfxexp_tpu.techniques.nrc import NRCConfig, init_nrc, train_step
+    from gfxexp_tpu.techniques.nrc import (
+        NRCConfig, init_nrc, train_on_frame)
     from gfxexp_tpu.techniques.nrc.cache import (
         NRCIntegratorConfig,
         render_sample_nrc,
@@ -298,8 +299,9 @@ def bench_nrc(width, height, frames=TIMED_FRAMES, train_steps=4):
         radiance, tq, tt, tm = render_sample_nrc(
             scene, bvh, camera, st["state"]["ema"], lo, hi, width, height,
             jnp.uint32(f), icfg, nrc_cfg)
-        for _ in range(train_steps):
-            st["state"], loss = train_step(st["state"], tq, tt, tm, nrc_cfg)
+        st["state"], loss = train_on_frame(
+            st["state"], tq, tt, tm, jax.random.PRNGKey(f), nrc_cfg,
+            train_steps)
         return carry + jnp.sum(radiance) + loss, None
 
     def split(frames):
@@ -312,14 +314,12 @@ def bench_nrc(width, height, frames=TIMED_FRAMES, train_steps=4):
                 "pathTrace+infer", render_sample_nrc, scene, bvh, camera,
                 state["ema"], lo, hi, width, height, jnp.uint32(f), icfg,
                 nrc_cfg)
-            for _ in range(train_steps):
-                state, _ = clock.run("train", train_step, state, tq, tt,
-                                     tm, nrc_cfg)
-        out = clock.means()
-        # report the SUM of the train steps per frame, like the reference's
-        # per-frame "training" row
-        out["train(x%d)" % train_steps] = out.pop("train") * train_steps
-        return out
+            # one jitted program per frame: `train_steps` Adam steps on
+            # disjoint shuffled slices (reference main.cpp:2350)
+            state, _ = clock.run("train(x%d)" % train_steps, train_on_frame,
+                                 state, tq, tt, tm, jax.random.PRNGKey(f),
+                                 nrc_cfg, train_steps)
+        return clock.means()
 
     return _drive("nrc", frame, width, height, frames, split_fn=split)
 

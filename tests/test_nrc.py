@@ -220,3 +220,96 @@ def test_training_lane_rotation():
     both08 = m0 & m8
     assert both08.any()
     assert np.allclose(q0[both08, :3], q8[both08, :3], atol=1e-6)
+
+
+def test_hash_grid_encoding_parity_with_naive_loop():
+    """The r5 single-gather hash-grid encoding must be bit-compatible with
+    the naive per-level/per-corner loop (Muller et al. hash, tcnn layout):
+    values AND gradients through the learned table (the backward is the
+    one restructured into a single scatter-add)."""
+    from gfxexp_tpu.techniques.nrc import encoding as enc
+
+    rng = np.random.default_rng(11)
+    L, T, F = 16, 1 << 15, 2
+    table = jnp.asarray(rng.normal(0, 1e-2, (L, T, F)).astype(np.float32))
+    p = jnp.asarray(rng.uniform(0, 1, (257, 3)).astype(np.float32))
+
+    def naive(table_, p_):
+        outs = []
+        tnp = np.asarray(table_)
+        pnp = np.asarray(p_)
+        for level in range(L):
+            res = int(np.floor(enc.HASH_BASE_RES
+                               * enc.HASH_PER_LEVEL_SCALE**level))
+            pf = pnp * np.float32(res)
+            p0 = np.floor(pf).astype(np.int64)
+            fw = pf - p0
+            feat = np.zeros((pnp.shape[0], F), np.float32)
+            for corner in range(8):
+                off = np.array([(corner >> 0) & 1, (corner >> 1) & 1,
+                                (corner >> 2) & 1], np.int64)
+                c = ((p0 + off) & 0xFFFFFFFF).astype(np.uint64)
+                h = ((c[:, 0] * enc._PRIMES[0])
+                     ^ (c[:, 1] * (enc._PRIMES[1] & 0xFFFFFFFF))
+                     ^ (c[:, 2] * enc._PRIMES[2])) & np.uint64(T - 1)
+                w = np.prod(np.where(off[None] == 1, fw, 1.0 - fw), axis=-1)
+                feat += w[:, None].astype(np.float32) * tnp[level,
+                                                            h.astype(np.int64)]
+            outs.append(feat)
+        return np.concatenate(outs, axis=-1)
+
+    got = np.asarray(enc.hash_grid_encoding(table, p))
+    want = naive(table, p)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+    # gradient parity through the table: d/dtable sum(encoding * cot) is
+    # the scatter-add path — compare against the naive accumulation
+    cot = jnp.asarray(rng.normal(size=got.shape).astype(np.float32))
+    g = jax.grad(
+        lambda t: jnp.sum(enc.hash_grid_encoding(t, p) * cot))(table)
+    eps_dirs = [(0, 17, 0), (5, 999, 1), (15, 32000, 0)]
+    for (l, t_, f) in eps_dirs:
+        e = 1e-3
+        tp = table.at[l, t_, f].add(e)
+        tm = table.at[l, t_, f].add(-e)
+        fd = (float(jnp.sum(enc.hash_grid_encoding(tp, p) * cot))
+              - float(jnp.sum(enc.hash_grid_encoding(tm, p) * cot))) / (2 * e)
+        assert abs(float(g[l, t_, f]) - fd) < 5e-2 * max(1.0, abs(fd)), (
+            l, t_, f, float(g[l, t_, f]), fd)
+
+
+def test_train_on_frame_disjoint_quarters():
+    """train_on_frame trains `steps` Adam steps on DISJOINT shuffled
+    slices of the frame's records (reference
+    neural_radiance_caching_main.cpp:2350: batchSize = perFrame/4,
+    dataStartIndex advances). steps=1 must equal train_step on the full
+    batch (a permutation doesn't change one step's summed gradient);
+    steps=4 must advance the step counter by 4 and differ from 4x
+    full-batch training."""
+    from gfxexp_tpu.techniques.nrc import (
+        NRCConfig, init_nrc, train_on_frame, train_step)
+
+    cfg = NRCConfig()
+    n = 1024
+    q = jax.random.uniform(jax.random.PRNGKey(1), (n, 14))
+    t = jnp.full((n, 3), 0.4)
+    m = jnp.arange(n) % 5 != 0  # some invalid records
+
+    st0 = init_nrc(jax.random.PRNGKey(0), cfg)
+    a, loss_a = train_on_frame(init_nrc(jax.random.PRNGKey(0), cfg), q, t,
+                               m, jax.random.PRNGKey(2), cfg, 1)
+    b, loss_b = train_step(init_nrc(jax.random.PRNGKey(0), cfg), q, t, m,
+                           cfg)
+    assert abs(float(loss_a) - float(loss_b)) < 1e-4
+    fa = np.asarray(a["params"]["weights"][0])
+    fb = np.asarray(b["params"]["weights"][0])
+    np.testing.assert_allclose(fa, fb, rtol=1e-4, atol=1e-6)
+
+    c, _ = train_on_frame(init_nrc(jax.random.PRNGKey(0), cfg), q, t, m,
+                          jax.random.PRNGKey(2), cfg, 4)
+    assert int(c["step"]) == 4
+    d = init_nrc(jax.random.PRNGKey(0), cfg)
+    for _ in range(4):
+        d, _ = train_step(d, q, t, m, cfg)
+    assert not np.allclose(np.asarray(c["params"]["weights"][0]),
+                           np.asarray(d["params"]["weights"][0]))
