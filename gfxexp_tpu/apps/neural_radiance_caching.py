@@ -16,7 +16,10 @@ from gfxexp_tpu.apps import common
 def main(argv=None):
     p = common.make_arg_parser("neural_radiance_caching")
     p.add_argument("-position-encoding", choices=["triangle_wave", "hash_grid"],
-                   default="hash_grid")
+                   default="triangle_wave",
+                   help="TPU default is triangle_wave (hash-grid corner "
+                        "gathers are ~400x slower on TPU — "
+                        "perf/RESULTS_r5.md; reference defaults hash_grid)")
     p.add_argument("-num-hidden-layers", type=int, default=2)
     p.add_argument("-learning-rate", type=float, default=1e-2)
     p.add_argument("-train-steps", type=int, default=4,

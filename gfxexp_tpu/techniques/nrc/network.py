@@ -34,7 +34,17 @@ POSITION_ENCODING_HASH_GRID = "hash_grid"
 
 @dataclasses.dataclass(frozen=True)
 class NRCConfig:
-    position_encoding: str = POSITION_ENCODING_HASH_GRID
+    # TPU-first default: TriangleWave (the original NRC-paper encoding;
+    # the reference defaults to HashGrid and exposes both via CLI,
+    # neural_radiance_caching_main.cpp:458,762). Measured on v5e at the
+    # production batch (81920 records): hash-grid train_step 496 ms /
+    # fwd 62 ms vs triangle-wave 1.2 ms / 1.0 ms — the 16x8 corner
+    # lookups are 10.5M 8-byte random gathers (+ scatter-adds backward),
+    # a structural ~5.7 ns/row XLA:TPU cost no layout fixes (single
+    # fused gather, 1D flattening, optimization_barrier) could move
+    # (perf/RESULTS_r5.md). HashGrid stays fully supported via
+    # -position-encoding hash_grid.
+    position_encoding: str = POSITION_ENCODING_TRIANGLE_WAVE
     num_hidden_layers: int = 2
     learning_rate: float = 1e-2
     ema_decay: float = 0.99

@@ -313,3 +313,26 @@ def test_train_on_frame_disjoint_quarters():
         d, _ = train_step(d, q, t, m, cfg)
     assert not np.allclose(np.asarray(c["params"]["weights"][0]),
                            np.asarray(d["params"]["weights"][0]))
+
+
+def test_hash_grid_pipeline_smoke():
+    """The default NRC encoding flipped to triangle_wave in r5 (hash-grid
+    gathers are structurally slow on TPU — perf/RESULTS_r5.md); the
+    hash-grid PIPELINE stays supported: full render + train frame."""
+    from gfxexp_tpu.techniques.nrc import (
+        NRCConfig, init_nrc, train_on_frame)
+    from gfxexp_tpu.techniques.nrc.network import POSITION_ENCODING_HASH_GRID
+
+    scene, bvh = compile_scene(box_scene())
+    cam = make_camera([0.0, 0.5, 1.9], fov_y=np.deg2rad(75), aspect=1.0,
+                      target=[0, 0.3, -1.0])
+    cfg = NRCConfig(position_encoding=POSITION_ENCODING_HASH_GRID)
+    icfg = NRCIntegratorConfig(max_path_length=3)
+    st = init_nrc(jax.random.PRNGKey(0), cfg)
+    lo, hi = scene_aabb(scene)
+    rad, tq, tt, tm = render_sample_nrc(
+        scene, bvh, cam, st["ema"], lo, hi, 32, 32, jnp.uint32(0), icfg, cfg)
+    st, loss = train_on_frame(st, tq, tt, tm, jax.random.PRNGKey(0), cfg, 2)
+    assert np.isfinite(np.asarray(rad)).all()
+    assert np.isfinite(float(loss))
+    assert int(st["step"]) == 2
