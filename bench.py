@@ -218,7 +218,11 @@ def _measure(argv, emit=True):
             target=[0.0, 0.2, 0.0],
         )
     cfg = PTConfig(max_path_length=MAX_PATH_LENGTH, count_rays=True,
-                   fuse_shadow_rays="fused" in argv)
+                   fuse_shadow_rays="fused" in argv,
+                   # VERDICT r5 #8: re-test coherence extraction at 1080p
+                   # batch sizes (declined at 262k rays in r3/r4)
+                   sort_secondary_rays="sort" in argv,
+                   compact_rays="compact" in argv)
 
     compile_s = 0.0
     if not hd:
@@ -241,6 +245,9 @@ def _measure(argv, emit=True):
 
         n = WIDTH * HEIGHT
         n_tiles = 8
+        for a in argv:  # "tiles1" = whole 2.07M-lane frame in one program
+            if a.startswith("tiles"):
+                n_tiles = int(a[5:])
         lane_count = n // n_tiles
         assert lane_count * n_tiles == n
 
